@@ -102,14 +102,25 @@ def test_plus_f(wag):
     assert np.abs(pf.Q.sum(axis=1)).max() < 1e-10
 
 
-def test_custom_model_roundtrip(wag, tmp_path):
-    # build a qmat text from WAG exchangeabilities: s_ij = Q_ij / pi_j
-    dim = 20
+def test_custom_model_roundtrip():
+    # synthetic 4-state GTR: lower-triangular exchangeabilities + freqs
+    rng = np.random.RandomState(0)
+    dim = 4
+    S = rng.uniform(0.5, 2.0, size=(dim, dim))
+    S = (S + S.T) / 2
+    freqs = rng.uniform(0.1, 0.4, size=dim)
     lines = []
     for i in range(1, dim):
-        lines.append(" ".join(
-            "%.17g" % (wag.Q[i, j] / wag.freqs[j]) for j in range(i)))
-    lines.append(" ".join("%.17g" % f for f in wag.freqs))
+        lines.append(" ".join("%.17g" % S[i, j] for j in range(i)))
+    lines.append(" ".join("%.17g" % f for f in freqs))
     cm = CustomModelFactory("\n".join(lines), dim)
-    assert np.abs(cm.Q - wag.Q).max() < 1e-8
-    assert np.abs(cm.freqs - wag.freqs).max() < 1e-10
+    freqs_n = freqs / freqs.sum()
+    assert np.abs(cm.freqs - freqs_n).max() < 1e-12
+    # off-diagonals proportional to S (note: reference does NOT multiply by
+    # freqs — exchangeabilities are used as rates directly)
+    ratio = cm.Q[0, 1] / S[0, 1]
+    off = ~np.eye(dim, dtype=bool)
+    assert np.abs(cm.Q[off] / S[off] - ratio).max() < 1e-10
+    assert np.abs(cm.Q.sum(axis=1)).max() < 1e-12
+    # rate normalization
+    assert abs(-(cm.freqs @ np.diag(cm.Q)) - 1.0) < 1e-12
