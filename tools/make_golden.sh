@@ -37,6 +37,16 @@ run tree0_fam100 -o $G/tree0_fam100.nwk -T -i 0 fixtures/fam100.fasta
 run i0_fam6 -o $G/i0_fam6.fasta --fasta -i 0 fixtures/fam6.fasta
 run i0_fam20 -o $G/i0_fam20.fasta --fasta -i 0 fixtures/fam20.fasta
 
+# fixed-tree alignments (tie-free DP/merge/output parity; -t implies -i 0)
+run t_fam6 -o $G/t_fam6.fasta --fasta -t $G/tree0_fam6.nwk fixtures/fam6.fasta
+run t_fam20 -o $G/t_fam20.fasta --fasta -t $G/tree0_fam20.nwk fixtures/fam20.fasta
+run t_fam100 -o $G/t_fam100.fasta --fasta -t $G/tree0_fam100.nwk fixtures/fam100.fasta
+run t_fam6_anc -o $G/t_fam6_anc.sto --ancestral_seqs -t $G/tree0_fam6.nwk fixtures/fam6.fasta
+run t_fam6_E -o $G/t_fam6_E.fasta --fasta -E -1 -t $G/tree0_fam6.nwk fixtures/fam6.fasta
+run t_fam20_mld -o $G/t_fam20_mld.fasta --fasta --mldist -t $G/tree0_fam20.nwk fixtures/fam20.fasta
+run t_fam20_i1 -o $G/t_fam20_i1.fasta --fasta -i 1 -t $G/tree0_fam20.nwk fixtures/fam20.fasta
+run t_fam20_prof -o $G/t_fam20_prof.fasta --fasta --profile_out $G/t_fam20.profile -t $G/tree0_fam20.nwk fixtures/fam20.fasta
+
 # config 2: ML distances + NW initial distance tree, 100 seqs
 run c2_fam100 -o $G/c2_fam100.fasta --fasta --mldist --nwdist fixtures/fam100.fasta
 run c2_fam20 -o $G/c2_fam20.fasta --fasta --mldist --nwdist fixtures/fam20.fasta
