@@ -32,8 +32,10 @@ class _Tokens:
                     cur = ""
                 continue
             if ch in _SEPS:
-                toks.append(cur + ch)
-                cur = ""
+                if cur:
+                    toks.append(cur)
+                    cur = ""
+                toks.append(ch)
             else:
                 cur += ch
         if cur:
