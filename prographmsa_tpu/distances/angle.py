@@ -65,11 +65,25 @@ def _distance_transform(cos: np.ndarray, seq_len: np.ndarray, options):
 
 def compute_angle_distances(spec, seqs: Dict[str, np.ndarray],
                             order: List[str], options):
-    """Host float64 parity path."""
+    """Host float64 parity path.
+
+    Follows Eigen's evaluation order exactly (DistanceFactoryAngle.h:115 is
+    ``((D⁻¹·Cᵀ)·C)·D⁻¹`` left-associated): rows are scaled by 1/norm
+    *before* the GEMM, and the GEMM accumulates sequentially over k — the
+    rounding determines NJ tie-breaks, so this makes guide trees
+    bit-identical to the reference binary."""
     counts, seq_len = kmer_counts(spec, seqs, order, spec.kmer_k)
+    C = counts.T                               # [DIM^K, N] like counts2
+    sq = (C * C).sum(axis=0)                   # exact integers
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv_norm = 1.0 / np.sqrt((counts * counts).sum(axis=1))
-        cos = inv_norm[:, None] * (counts @ counts.T) * inv_norm[None, :]
+        inv_norm = 1.0 / np.sqrt(sq)
+        scaled = inv_norm[:, None] * C.T       # [N, DIM^K] row-scaled
+        n = len(order)
+        G = np.empty((n, n))
+        for i in range(n):
+            # sequential-k accumulation (cumsum rounds like a scalar loop)
+            G[i, :] = np.cumsum(scaled[i][:, None] * C, axis=0)[-1]
+        cos = G * inv_norm[None, :]
     return _distance_transform(cos, seq_len, options)
 
 

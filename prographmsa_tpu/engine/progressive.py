@@ -1,0 +1,220 @@
+"""Progressive alignment driver.
+
+Re-derivation of /root/reference/src/ProgressiveAlignment.{h,cpp}: post-order
+recursion over the guide tree; leaves become sequence graphs; internal nodes
+clean, align (device DP), merge, and extend the descendant alignments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..graph.graph import Graph, sequence_graph, clean_graph, unclean_mapping
+from ..align.scores import DynProgScores, precompute_scores
+from ..align.dp import fill_dp
+from ..align.backtrack import backtrack, AlignmentResult
+from ..align.merge import merge_graphs, merge_graphs_incremental
+from ..tree.phytree import PhyTree
+
+
+@dataclass
+class ProgressiveAlignmentResult:
+    aligned_sequences: Dict[str, np.ndarray] = field(default_factory=dict)
+    profiles: Dict[str, np.ndarray] = field(default_factory=dict)
+    tr_homologies: List[np.ndarray] = field(default_factory=list)
+    tr_source: List[str] = field(default_factory=list)
+    graph: Graph = None
+    score: float = 0.0
+    n_tr_indels: int = 0
+    is_csprofile: bool = False
+
+
+def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
+    """alignGraphs (GraphAlign.h:201-534): scores -> S-matrix GEMM ->
+    wavefront DP fill -> host backtrack."""
+    scores = DynProgScores(g1, g2, model, options)
+    S = precompute_scores(g1, g2, model, scores)
+    dp = fill_dp(g1, g2, S, scores)
+    return backtrack(g1, g2, dp, scores), scores
+
+
+def extend_alignment(result, mapping, aligned_sequences, gap_code):
+    """Gap-extend descendant sequences through the merged graph
+    (ProgressiveAlignment.h:245-264)."""
+    n = result.graph.size
+    for name, original in aligned_sequences.items():
+        extended = np.full(n - 2, gap_code, dtype=np.int16)
+        k = 0
+        for j in range(1, n - 1):
+            if mapping[j] != -1:
+                extended[j - 1] = original[k]
+                k += 1
+        result.aligned_sequences[name] = extended
+
+
+def extend_tr_homologies(result, mapping, tr_homologies, tr_source):
+    """ProgressiveAlignment.h:266-287."""
+    n = result.graph.size
+    for original, source in zip(tr_homologies, tr_source):
+        extended = np.full(n - 2, -1, dtype=np.int64)
+        k = 0
+        for j in range(1, n - 1):
+            if mapping[j] != -1:
+                extended[j - 1] = original[k]
+                k += 1
+        result.tr_homologies.append(extended)
+        result.tr_source.append(source)
+
+
+def create_ancestral_seq_name(aligned_sequences) -> str:
+    """Sorted-leaf-list name "(A,B,...)" (ProgressiveAlignment.h:289-315)."""
+    leaves = sorted(n for n in aligned_sequences if not n.startswith("("))
+    return "(" + ",".join(leaves) + ")"
+
+
+def _ancestral_from_cols(result, cols_ok, col_of, spec, model):
+    """Shared max-posterior ancestral sequence + profile construction
+    (ProgressiveAlignment.h:317-411)."""
+    n = result.graph.size
+    extended = np.full(n - 2, spec.gap_code, dtype=np.int16)
+    profile_cols = []
+    for i in range(1, n - 1):
+        if cols_ok(i):
+            col = col_of(i) * model.pi
+            j = int(np.argmax(col))
+            extended[i - 1] = spec.from_values(np.array([j]))[0]
+            profile_cols.append(col / col.sum())
+    return extended, (np.array(profile_cols) if profile_cols
+                      else np.zeros((0, spec.DIM)))
+
+
+def prelim_ancestral_seq(result, is_matched, model, spec):
+    name = create_ancestral_seq_name(result.aligned_sequences)
+    extended, profile = _ancestral_from_cols(
+        result, lambda i: is_matched[i], lambda i: result.graph.sites[i].copy(),
+        spec, model)
+    result.aligned_sequences[name] = extended
+    result.profiles[name] = profile
+
+
+def final_ancestral_seq(result, mapping, matched, old_result, model, spec):
+    name = create_ancestral_seq_name(old_result.aligned_sequences)
+    extended, profile = _ancestral_from_cols(
+        result, lambda i: matched[i] and mapping[i] != -1,
+        lambda i: old_result.graph.sites[mapping[i]].copy(), spec, model)
+    result.aligned_sequences[name] = extended
+    result.profiles[name] = profile
+
+
+def align_progressive_results(r1, r2, distance1, distance2, support1,
+                              support2, factory, options, spec):
+    """ProgressiveAlignment.h:413-476."""
+    result = ProgressiveAlignmentResult()
+
+    gap_distance1 = distance1
+    gap_distance2 = distance2
+    if r1.is_csprofile:
+        distance1 = 0.0
+    if r2.is_csprofile:
+        distance2 = 0.0
+    gap_distance = gap_distance1 + gap_distance2
+    distance = distance1 + distance2
+
+    model = factory.get_model(distance, options, gap_distance)
+    model1 = factory.get_model(distance1, options, gap_distance1)
+    model2 = factory.get_model(distance2, options, gap_distance2)
+
+    cg1, outmap1 = clean_graph(r1.graph, options)
+    cg2, outmap2 = clean_graph(r2.graph, options)
+
+    aln, _scores = align_graphs(cg1, cg2, model, options)
+    result.score = float(aln.score)
+    result.is_csprofile = False
+    result.n_tr_indels = aln.n_tr_indels + r1.n_tr_indels + r2.n_tr_indels
+    result.profiles.update(r1.profiles)
+    result.profiles.update(r2.profiles)
+
+    mapping1 = unclean_mapping(aln.mapping1, outmap1)
+    mapping2 = unclean_mapping(aln.mapping2, outmap2)
+
+    anc = merge_graphs(r1.graph, r2.graph, mapping1, mapping2, model1, model2,
+                       support1, support2, options)
+    result.graph = anc.graph
+
+    gap_code = spec.gap_code
+    extend_alignment(result, anc.mapping1, r1.aligned_sequences, gap_code)
+    extend_alignment(result, anc.mapping2, r2.aligned_sequences, gap_code)
+    extend_tr_homologies(result, anc.mapping1, r1.tr_homologies, r1.tr_source)
+    extend_tr_homologies(result, anc.mapping2, r2.tr_homologies, r2.tr_source)
+
+    if options.ancestral_flag:
+        if len(r1.aligned_sequences) > 1:
+            final_ancestral_seq(result, anc.mapping1, anc.is_matched, r1,
+                                model1, spec)
+        if len(r2.aligned_sequences) > 1:
+            final_ancestral_seq(result, anc.mapping2, anc.is_matched, r2,
+                                model2, spec)
+        prelim_ancestral_seq(result, anc.is_matched, model, spec)
+
+    result.graph.add_repeats(result.tr_homologies)
+    return result
+
+
+def progressive_alignment(spec, sequences, tree: PhyTree, repeats, csprofile,
+                          factory, options,
+                          alignment_cache: Optional[dict] = None
+                          ) -> ProgressiveAlignmentResult:
+    """ProgressiveAlignment.h:59-113."""
+    result = ProgressiveAlignmentResult()
+    result.is_csprofile = False
+
+    if tree.is_leaf():
+        name = tree.name
+        if name not in sequences:
+            raise ValueError("unknown sequence name: %s" % name)
+        seq = sequences[name]
+        if csprofile is not None and spec.name == "aa":
+            from ..cs_profile import cs_sequence_graph
+            model = factory.get_model(tree.branch_length, options)
+            result.graph = cs_sequence_graph(spec, seq, csprofile, model)
+            result.is_csprofile = True
+        else:
+            result.graph = sequence_graph(spec, seq)
+        result.aligned_sequences[name] = seq
+        result.profiles[name] = result.graph.sites[1:-1].copy()
+        result.score = 0.0
+        result.n_tr_indels = 0
+
+        if name in repeats:
+            for rep in repeats[name]:
+                tr_hom = np.full(result.graph.size, -1, dtype=np.int64)
+                tr_hom[rep.start + 1:rep.start + 1 + len(rep.tr_hom)] = \
+                    rep.tr_hom
+                result.tr_homologies.append(tr_hom)
+                result.tr_source.append(name)
+            result.graph.add_repeats(result.tr_homologies)
+    else:
+        if tree.n_children() != 2:
+            raise ValueError("only bifurcating trees allowed")
+        r1 = progressive_alignment(spec, sequences, tree[0], repeats,
+                                   csprofile, factory, options,
+                                   alignment_cache)
+        r2 = progressive_alignment(spec, sequences, tree[1], repeats,
+                                   csprofile, factory, options,
+                                   alignment_cache)
+        result = align_progressive_results(
+            r1, r2, tree[0].branch_length, tree[1].branch_length,
+            tree[0].branch_support, tree[1].branch_support, factory, options,
+            spec)
+        if options.earlyref_flag:
+            from .early_refinement import early_refinement
+            result = early_refinement(result, tree, factory, options, spec,
+                                      alignment_cache)
+
+    if options.earlyref_flag and alignment_cache is not None:
+        alignment_cache[id(tree)] = result
+
+    return result

@@ -1,0 +1,291 @@
+"""Sequence-graph data structure (array form).
+
+Re-derivation of /root/reference/src/Graph.h as plain arrays instead of Eigen
+sparse matrices:
+
+* ``sites``: [n, DIM] float64 profile (row per node; node 0 and n-1 are
+  zero start/end sentinels, Graph.h:104-120).
+* predecessor edges: per-node ascending lists of (pred, cost); cost is the
+  *retrieved* float32 cost.  The reference stores ``min(cost,1e4)-1e4`` as
+  float32 and retrieves ``stored+1e4`` (Graph.h:81-90,223-230) — this
+  quantizes costs to ~2^-10 near 1e4 and maps cost>=1e4 to +inf; we apply
+  the identical quantization at insertion (``quantize_cost``) so DP scores
+  match the reference bitwise.
+* repeat (tandem-repeat unit skip) edges as per-node ascending lists of
+  (pred, units); their cost is ``repeat_init + repeat_ext*(units-1)``
+  computed at DP time (Graph.h:236).
+
+Predecessor iteration order (normal edges ascending, then repeat edges
+ascending) matches the reference's row-major sparse inner iteration, which
+the backtracking tie-breaks depend on.
+
+For the device DP kernel, ``padded()`` exports fixed-capacity arrays
+(pred_idx/pred_cost [n, E] with sentinel padding).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+MAX_EDGE_COST = np.float32(10000.0)
+INF = np.float32(np.inf)
+
+
+def quantize_cost(cost) -> np.float32:
+    """Reproduce the store/retrieve float32 rounding of edge costs."""
+    c = np.float32(min(np.float64(cost), np.float64(MAX_EDGE_COST)))
+    stored = np.float32(c - MAX_EDGE_COST)
+    if stored == np.float32(0.0):
+        return INF
+    return np.float32(stored + MAX_EDGE_COST)
+
+
+class Graph:
+    __slots__ = ("sites", "preds", "reps")
+
+    def __init__(self, sites: np.ndarray,
+                 preds: List[List[Tuple[int, np.float32]]],
+                 reps: List[List[Tuple[int, int]]]):
+        self.sites = sites          # [n, DIM] float64
+        self.preds = preds          # per-node [(pred, cost_f32)] ascending
+        self.reps = reps            # per-node [(pred, units)] ascending
+
+    # ------------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return self.sites.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.sites.shape[1]
+
+    def copy(self) -> "Graph":
+        return Graph(self.sites.copy(),
+                     [list(p) for p in self.preds],
+                     [list(r) for r in self.reps])
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_profile(cls, profile: np.ndarray) -> "Graph":
+        """Linear chain over profile columns; adds zero start/end sentinels
+        and free edges i -> i+1 (Graph.h:104-120, fillInitialEdges)."""
+        n = profile.shape[0] + 2
+        dim = profile.shape[1]
+        sites = np.zeros((n, dim), dtype=np.float64)
+        sites[1:n - 1] = profile
+        preds = [[] for _ in range(n)]
+        for i in range(1, n):
+            preds[i].append((i - 1, np.float32(0.0)))
+        reps = [[] for _ in range(n)]
+        return cls(sites, preds, reps)
+
+    @classmethod
+    def from_maps(cls, nodes: np.ndarray,
+                  edge_map: Dict[Tuple[int, int], float],
+                  repeat_map: Dict[Tuple[int, int], int]) -> "Graph":
+        """Graph(nodes, edges, repeats) ctor (Graph.h:122-139): ``nodes``
+        includes the zero sentinels; maps are keyed (to, from)."""
+        n = nodes.shape[0]
+        sites = nodes.astype(np.float64).copy()
+        sites[0] = 0.0
+        sites[n - 1] = 0.0
+        preds = [[] for _ in range(n)]
+        reps = [[] for _ in range(n)]
+        for (to, frm) in sorted(edge_map):
+            preds[to].append((frm, quantize_cost(edge_map[(to, frm)])))
+        for (to, frm) in sorted(repeat_map):
+            units = repeat_map[(to, frm)]
+            # stored index_t 0 would read as "no edge" -> inf; units>0 normal
+            if units > 0:
+                reps[to].append((frm, int(units)))
+        return cls(sites, preds, reps)
+
+    # ------------------------------------------------------------------
+    def pred_items(self, node: int, repeat_init, repeat_ext):
+        """PredIterator semantics (Graph.h:180-248): yields
+        (pred, cost, is_repeat, units).  Repeat-edge cost =
+        repeat_init + repeat_ext*(units-1)."""
+        for p, c in self.preds[node]:
+            yield p, np.float32(c), False, 0
+        for p, u in self.reps[node]:
+            yield p, np.float32(repeat_init + repeat_ext * (u - 1)), True, u
+
+    def add_repeats(self, tr_homologies: List[np.ndarray]) -> None:
+        """Rebuild repeat edges from TR homology tracks
+        (Graph.h:48-79,458-469)."""
+        repeat_map: Dict[Tuple[int, int], int] = {}
+        for tr in tr_homologies:
+            _repeat_edges(repeat_map, tr)
+        reps: List[List[Tuple[int, int]]] = [[] for _ in range(self.size)]
+        for (to, frm) in sorted(repeat_map):
+            units = repeat_map[(to, frm)]
+            if units > 0:
+                reps[to].append((frm, units))
+        self.reps = reps
+
+    def reset_sites(self) -> None:
+        """Graph::reset (Graph.h:369-373)."""
+        self.sites[:, :] = 1.0
+        self.sites[0] = 0.0
+        self.sites[-1] = 0.0
+
+    def rm_nodes(self, first: int, count: int = 1) -> None:
+        """Graph::rmNodes (Graph.h:375-427): delete nodes [first,
+        first+count), shifting indices and dropping incident edges."""
+        assert first >= 1 and first + count <= self.size
+        n_new = self.size - count
+
+        def shift(i):
+            return i - count if i >= first else i
+
+        new_preds: List[List[Tuple[int, np.float32]]] = [[] for _ in range(n_new)]
+        new_reps: List[List[Tuple[int, int]]] = [[] for _ in range(n_new)]
+        for to in range(self.size):
+            if first <= to < first + count:
+                continue
+            for p, c in self.preds[to]:
+                if not (first <= p < first + count):
+                    new_preds[shift(to)].append((shift(p), c))
+            for p, u in self.reps[to]:
+                if not (first <= p < first + count):
+                    new_reps[shift(to)].append((shift(p), u))
+        self.sites = np.delete(self.sites, slice(first, first + count), axis=0)
+        self.preds = new_preds
+        self.reps = new_reps
+
+    # ------------------------------------------------------------------
+    def padded(self):
+        """Fixed-capacity arrays for the device DP kernel:
+        (pred_idx [n,E] int32 w/ -1 pad, pred_cost [n,E] float32 w/ +inf pad,
+        is_rep [n,E] bool, rep_units [n,E] int32)."""
+        n = self.size
+        emax = max(1, max(len(self.preds[i]) + len(self.reps[i])
+                          for i in range(n)))
+        idx = np.full((n, emax), -1, dtype=np.int32)
+        cost = np.full((n, emax), np.inf, dtype=np.float32)
+        isrep = np.zeros((n, emax), dtype=bool)
+        units = np.zeros((n, emax), dtype=np.int32)
+        for i in range(n):
+            k = 0
+            for p, c in self.preds[i]:
+                idx[i, k] = p
+                cost[i, k] = c
+                k += 1
+            for p, u in self.reps[i]:
+                idx[i, k] = p
+                isrep[i, k] = True
+                units[i, k] = u
+                k += 1
+        return idx, cost, isrep, units
+
+
+def _repeat_edges(repeat_map: Dict[Tuple[int, int], int],
+                  tr_homology: np.ndarray, offset: int = 0) -> None:
+    """Graph::getRepeatEdges (Graph.h:48-79): convert a per-node repeat-unit
+    column track into unit-skip edges with min-combined unit counts."""
+    tr = list(tr_homology)
+    n = len(tr)
+    for frm in range(n):
+        if tr[frm] < 0:
+            continue
+        n_units = 0
+        take_next = False
+        for to in range(frm + 1, n):
+            if tr[to] < 0:
+                continue
+            if tr[to] <= tr[to - 1]:
+                n_units += 1
+            if take_next:
+                key = (offset + to, offset + frm)
+                if key in repeat_map:
+                    repeat_map[key] = min(repeat_map[key], n_units)
+                else:
+                    repeat_map[key] = n_units
+                take_next = False
+            if tr[to] == tr[frm]:
+                take_next = True
+
+
+def sequence_graph(spec, seq: np.ndarray) -> Graph:
+    """SequenceGraph from one sequence: one-hot columns, unknowns uniform
+    (SequenceGraph.h:45-54,101-109)."""
+    vals = spec.values(seq)
+    n = len(vals)
+    profile = np.zeros((n, spec.DIM), dtype=np.float64)
+    valid = (vals >= 0) & (vals < spec.DIM)
+    profile[np.arange(n)[valid], vals[valid]] = 1.0
+    profile[~valid] = 1.0 / spec.DIM
+    return Graph.from_profile(profile)
+
+
+def clean_graph(graph: Graph, options):
+    """CleanedGraph (CleanedGraph.h:38-146): keep only nodes on a
+    finite-cost start->end path; returns (cleaned Graph, outmapping)."""
+    n = graph.size
+    repeat_ext = INF if options.repeatext_prob == 0 else np.float32(0.0)
+
+    marked_fw = np.zeros(n, dtype=bool)
+    marked_bw = np.zeros(n, dtype=bool)
+    mapping = np.full(n, -1, dtype=np.int64)
+    marked_fw[0] = True
+    marked_bw[n - 1] = True
+    mapping[0] = 0
+    new_dim = 1
+
+    # repeat-edge traversability under (repeat_init=0, repeat_ext)
+    def edges_of(to):
+        for p, c in graph.preds[to]:
+            yield p, c
+        for p, u in graph.reps[to]:
+            yield p, np.float32(0.0 + repeat_ext * (u - 1))
+
+    for to in range(n - 1, 0, -1):
+        if not marked_bw[to]:
+            continue
+        for p, c in edges_of(to):
+            if c != INF:
+                marked_bw[p] = True
+
+    for to in range(1, n):
+        for p, c in edges_of(to):
+            if c != INF and marked_fw[p]:
+                marked_fw[to] = True
+                if marked_bw[to]:
+                    mapping[to] = new_dim
+                    new_dim += 1
+                break
+
+    assert marked_bw[0] and marked_fw[n - 1]
+
+    sites = np.zeros((new_dim, graph.dim), dtype=np.float64)
+    preds: List[List[Tuple[int, np.float32]]] = [[] for _ in range(new_dim)]
+    reps: List[List[Tuple[int, int]]] = [[] for _ in range(new_dim)]
+    for to in range(n):
+        y = mapping[to]
+        if y == -1:
+            continue
+        sites[y] = graph.sites[to]
+        for p, c in graph.preds[to]:
+            x = mapping[p]
+            if x != -1 and c != INF:   # stored<0 <=> finite cost
+                preds[y].append((x, c))
+        for p, u in graph.reps[to]:
+            x = mapping[p]
+            if x != -1 and u > 0:
+                reps[y].append((x, u))
+        preds[y].sort(key=lambda t: t[0])
+        reps[y].sort(key=lambda t: t[0])
+
+    outmapping = np.zeros(new_dim, dtype=np.int64)
+    for i in range(n):
+        if mapping[i] != -1:
+            outmapping[mapping[i]] = i
+
+    return Graph(sites, preds, reps), outmapping
+
+
+def unclean_mapping(mapping: List[int], outmapping: np.ndarray) -> List[int]:
+    """CleanedGraph::uncleanMapping (CleanedGraph.h:152-160)."""
+    return [int(outmapping[m]) if m != -1 else -1 for m in mapping]

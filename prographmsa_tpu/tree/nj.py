@@ -16,6 +16,7 @@ from typing import List, Optional
 import numpy as np
 
 from .phytree import PhyTree
+from ..eigen_compat import eigen_colwise_sum, eigen_seq_sum
 
 MIN_DIST = 1e-4
 MIN_VAR = 1e-5
@@ -124,7 +125,7 @@ def build_nj_tree(seqs_order: List[str], distances: np.ndarray,
         np.fill_diagonal(D, 0.0)
         np.fill_diagonal(V, 0.0)
 
-        sums = D.sum(axis=0)
+        sums = eigen_colwise_sum(D)
 
         if plan_pos >= len(topo_plan):
             # Q-matrix selection with Eigen column-major first-min
@@ -151,7 +152,7 @@ def build_nj_tree(seqs_order: List[str], distances: np.ndarray,
         dist2 = max(D[index2, index1] - dist1, MIN_DIST)
 
         # BioNJ variance-weighted averaging (TreeNJ.cpp:204-215)
-        lam = 0.5 + (V[index2, :] - V[index1, :]).sum() / (
+        lam = 0.5 + eigen_seq_sum(V[index2, :] - V[index1, :]) / (
             2.0 * (dim - 2) * V[index1, index2])
         if lam != lam:
             lam = 0.5

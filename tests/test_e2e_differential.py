@@ -1,0 +1,73 @@
+"""End-to-end differential tests: full CLI runs vs the reference oracle
+binary's golden outputs.  These must be BYTE-IDENTICAL (Stockholm compared
+modulo the build-date header comment)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+FIX = os.path.join(REPO, "fixtures")
+G = os.path.join(FIX, "golden")
+
+
+def run_cli(args, out_path):
+    cmd = [sys.executable, "-m", "prographmsa_tpu.cli"] + args + ["-o", out_path]
+    env = dict(os.environ, PYTHONWARNINGS="ignore", JAX_PLATFORMS="cpu")
+    subprocess.run(cmd, cwd=REPO, check=True, env=env,
+                   capture_output=True, timeout=900)
+
+
+def _strip_header(text):
+    return "\n".join(l for l in text.split("\n")
+                     if not l.startswith("# created by"))
+
+
+CASES = [
+    # (golden file, CLI args)
+    ("t_fam6.fasta", ["--fasta", "-t", G + "/tree0_fam6.nwk",
+                      FIX + "/fam6.fasta"]),
+    ("t_fam20.fasta", ["--fasta", "-t", G + "/tree0_fam20.nwk",
+                       FIX + "/fam20.fasta"]),
+    ("t_fam6_E.fasta", ["--fasta", "-E", "-1", "-t", G + "/tree0_fam6.nwk",
+                        FIX + "/fam6.fasta"]),
+    ("t_fam20_mld.fasta", ["--fasta", "--mldist", "-t",
+                           G + "/tree0_fam20.nwk", FIX + "/fam20.fasta"]),
+    ("t_fam20_i1.fasta", ["--fasta", "-i", "1", "-t", G + "/tree0_fam20.nwk",
+                          FIX + "/fam20.fasta"]),
+    ("c1_fam6.fasta", ["--fasta", FIX + "/fam6.fasta"]),
+    ("c1_fam3.fasta", ["--fasta", FIX + "/fam3.fasta"]),
+    ("c1_fam20.fasta", ["--fasta", FIX + "/fam20.fasta"]),
+    ("tree0_fam6.nwk", ["-T", "-i", "0", FIX + "/fam6.fasta"]),
+    ("tree_fam20.nwk", ["-T", FIX + "/fam20.fasta"]),
+    ("t_fam6_anc.sto", ["--ancestral_seqs", "-t", G + "/tree0_fam6.nwk",
+                        FIX + "/fam6.fasta"]),
+    ("c1_fam6.sto", [FIX + "/fam6.fasta"]),
+    ("mld_fam20.fasta", ["--fasta", "--mldist", FIX + "/fam20.fasta"]),
+    ("c4_darwin.fasta", ["--fasta", "-w", "--mldist", FIX + "/fam20.fasta"]),
+]
+
+
+@pytest.mark.parametrize("golden,args", CASES, ids=[c[0] for c in CASES])
+def test_differential(golden, args, tmp_path):
+    out = str(tmp_path / "out")
+    run_cli(args, out)
+    with open(out) as f:
+        mine = f.read()
+    with open(os.path.join(G, golden)) as f:
+        expected = f.read()
+    assert _strip_header(mine) == _strip_header(expected)
+
+
+@pytest.mark.slow
+def test_differential_fam100(tmp_path):
+    out = str(tmp_path / "out")
+    run_cli(["--fasta", "-t", G + "/tree0_fam100.nwk", FIX + "/fam100.fasta"],
+            out)
+    with open(out) as f:
+        mine = f.read()
+    with open(os.path.join(G, "t_fam100.fasta")) as f:
+        expected = f.read()
+    assert mine == expected

@@ -28,6 +28,7 @@ def build_initial_tree(fasta, options):
 
 
 @pytest.mark.parametrize("fasta,golden", [
+    ("fam6.fasta", "tree0_fam6.nwk"),
     ("fam20.fasta", "tree0_fam20.nwk"),
     ("fam100.fasta", "tree0_fam100.nwk"),
 ])
@@ -67,14 +68,14 @@ def _leaves(tree):
     return out
 
 
-def test_fam6_tree_tie_equivalent():
-    """fam6 hits the NJ dim-4 exact Q-tie, which the 2013-era reference
-    binary breaks by unreproducible floating-point noise (see SURVEY.md /
-    tree/nj.py).  We require identical unrooted topology and lock our own
-    deterministic output as a regression value."""
+def test_fam6_tree_exact():
+    """fam6 hits the NJ dim-4 exact Q-tie; with Eigen-order reductions
+    (eigen_compat.py, angle.py) the tie now breaks identically to the
+    reference binary."""
     from prographmsa_tpu.io.newick import parse_newick
     options = Options()
     tree = build_initial_tree("fam6.fasta", options)
     with open(os.path.join(FIX, "golden", "tree0_fam6.nwk")) as f:
-        golden = parse_newick(f.read().strip())
-    assert _splits(tree) == _splits(golden)
+        golden = f.read().strip()
+    assert tree.format_newick() == golden
+    assert _splits(tree) == _splits(parse_newick(golden))
