@@ -32,31 +32,20 @@ def _pair_stats(vals1, gap1, vals2, gap2, dim, count_bound):
         full[:count_bound, :count_bound] = counts
         counts = full
 
-    # gap-opening state machine: a maximal run of gap-in-one-sequence
-    # columns counts once; both-gap columns do not interrupt a run only if
-    # the same sequence stays gapped (exact reference semantics below).
-    gaps = 0
-    gap_opened1 = False
-    gap_opened2 = False
-    # state transitions are data-dependent; run the scan in numpy by
-    # segmenting on the 4-state column class
+    # gap-opening count, vectorized: both-gap columns are transparent
+    # (preserve the opened flags); among the remaining columns a gap run
+    # opens whenever the column's gap side differs from the previous
+    # non-transparent column's state.  (Equivalent to the reference's
+    # per-column state machine, Prealigned.h:61-80.)
     state = np.where(both_res, 0, np.where(gap1 & gap2, 1,
                      np.where(~gap1, 2, 3)))
-    for s in state:
-        if s == 0:
-            gap_opened1 = gap_opened2 = False
-        elif s == 1:
-            pass
-        elif s == 2:
-            if not gap_opened1:
-                gaps += 1
-                gap_opened1 = True
-                gap_opened2 = False
-        else:
-            if not gap_opened2:
-                gaps += 1
-                gap_opened2 = True
-                gap_opened1 = False
+    f = state[state != 1]
+    if f.size:
+        prev = np.concatenate([[0], f[:-1]])
+        gaps = int(((f == 2) & (prev != 2)).sum()
+                   + ((f == 3) & (prev != 3)).sum())
+    else:
+        gaps = 0
     return counts, gaps
 
 
