@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: DP cells/sec on the device vs the reference binary.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the BASELINE config-2 core — batched all-pairs NW distance DP over
+the 100-sequence family (the O(N²L²) hot loop of --nwdist), measured as DP
+cell updates/second on the device, compared against the reference binary
+computing the identical distances (its wall time for the same `--mldist
+--nwdist -T -i 0` run, which is dominated by the same DP).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+REF_BIN = "/root/reference/bin/ProGraphMSA_64"
+FIXTURE = os.path.join(REPO, "fixtures", "fam100.fasta")
+
+
+def main():
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from prographmsa_tpu.config import Options
+    from prographmsa_tpu.alphabet import AA_SPEC
+    from prographmsa_tpu.io.fasta import read_fasta
+    import prographmsa_tpu.distances.align as A
+
+    opts = Options(mldist_flag=True, nwdist_flag=True)
+    seqs_str, _ = read_fasta(FIXTURE)
+    seqs = {}
+    for name, s in seqs_str.items():
+        enc = AA_SPEC.encode(s)
+        if len(enc) and enc[0] == ord("M"):
+            enc = enc[1:]
+        seqs[name] = enc
+    order = sorted(seqs)
+    codes = {n: A._seq_codes(AA_SPEC, seqs[n]) for n in order}
+    scoring = A._load_scoring("aa")
+    go, ge = A.GAP_PARAMS["aa"]
+
+    n = len(order)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    L = max(len(c) for c in codes.values())
+    B = len(pairs)
+    s1b = np.zeros((B, L), dtype=np.int32)
+    s2b = np.zeros((B, L), dtype=np.int32)
+    cells = 0
+    for b, (i, j) in enumerate(pairs):
+        c1, c2 = codes[order[i]], codes[order[j]]
+        s1b[b, :len(c1)] = c1
+        s2b[b, :len(c2)] = c2
+        cells += (len(c1) + 1) * (len(c2) + 1)
+
+    # warmup (compile)
+    CHUNK = 512
+    A._batched_W(s1b[:CHUNK], None, s2b[:CHUNK], None, scoring, go, ge)
+
+    t0 = time.time()
+    for start in range(0, B, CHUNK):
+        end = min(start + CHUNK, B)
+        sl1 = np.zeros((CHUNK, L), dtype=np.int32)
+        sl2 = np.zeros((CHUNK, L), dtype=np.int32)
+        sl1[:end - start] = s1b[start:end]
+        sl2[:end - start] = s2b[start:end]
+        A._batched_W(sl1, None, sl2, None, scoring, go, ge)
+    dt = time.time() - t0
+    # padded cells actually computed on device:
+    padded_cells = ((B + CHUNK - 1) // CHUNK) * CHUNK * (L + 1) * (L + 1)
+    cells_per_s = padded_cells / dt
+
+    # reference baseline: identical all-pairs NW distances (+ NJ) wall time
+    t0 = time.time()
+    subprocess.run([REF_BIN, "-T", "-i", "0", "--mldist", "--nwdist",
+                    "-o", "/dev/null", FIXTURE],
+                   check=True, capture_output=True)
+    ref_dt = time.time() - t0
+    ref_cells_per_s = cells / ref_dt
+
+    print(json.dumps({
+        "metric": "nw_dp_cells_per_sec_chip",
+        "value": round(cells_per_s),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_s / ref_cells_per_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

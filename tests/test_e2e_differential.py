@@ -47,6 +47,16 @@ CASES = [
     ("c1_fam6.sto", [FIX + "/fam6.fasta"]),
     ("mld_fam20.fasta", ["--fasta", "--mldist", FIX + "/fam20.fasta"]),
     ("c4_darwin.fasta", ["--fasta", "-w", "--mldist", FIX + "/fam20.fasta"]),
+    ("c2_fam20.fasta", ["--fasta", "--mldist", "--nwdist",
+                        FIX + "/fam20.fasta"]),
+    ("c3_codon.fasta", ["--fasta", "--codon", FIX + "/orf10.fasta"]),
+    ("c3_codon_i0.fasta", ["--fasta", "--codon", "-i", "0",
+                           FIX + "/orf10.fasta"]),
+    ("t_fam6_cs.fasta", ["--fasta", "-c", FIX + "/cs16.lib", "-t",
+                         G + "/tree0_fam6.nwk", FIX + "/fam6.fasta"]),
+    ("c4_cs_F.sto", ["-c", FIX + "/cs16.lib", "-F", "--ancestral_seqs",
+                     "-t", G + "/tree0_fam6.nwk", FIX + "/fam6.fasta"]),
+    ("c4_aafreqs.sto", ["-F", "--ancestral_seqs", FIX + "/fam6.fasta"]),
 ]
 
 
