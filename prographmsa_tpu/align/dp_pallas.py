@@ -36,7 +36,11 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int):
 
     D = n1p + n2p
     DB = D + 8          # output rows padded to a sublane multiple
-    NEG = float("-inf")
+    # Finite sentinels: +/-inf operands crash the TPU runtime inside this
+    # kernel (observed on v5e), so "impossible" is a large finite negative
+    # and infinite edge costs are a large finite positive; row writes are
+    # floor-clamped so junk cells cannot drift toward float32 overflow.
+    NEG = -1e37
 
     def kernel(scal_ref,              # [16] int32: o1, o2, n1, n2
                Sdiag_ref,             # [D, n1p] f32 (diag coords, -inf pad)
@@ -128,10 +132,10 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int):
                              jnp.maximum(Mrow, jnp.maximum(Xrow, Yrow)),
                              jnp.where(b_x0, SyB, jnp.where(b_y0, SxB, NEG)))
 
-            M_ref[pl.ds(d, 1), :] = Mrow
-            X_ref[pl.ds(d, 1), :] = Xrow
-            Y_ref[pl.ds(d, 1), :] = Yrow
-            W_ref[pl.ds(d, 1), :] = Wrow
+            M_ref[pl.ds(d, 1), :] = jnp.maximum(Mrow, NEG)
+            X_ref[pl.ds(d, 1), :] = jnp.maximum(Xrow, NEG)
+            Y_ref[pl.ds(d, 1), :] = jnp.maximum(Yrow, NEG)
+            W_ref[pl.ds(d, 1), :] = jnp.maximum(Wrow, NEG)
             return c
 
         jax.lax.fori_loop(1, D, body, 0, unroll=False)
@@ -189,23 +193,27 @@ def fill_dp_pallas(g1, g2, S_host, scores, max_offsets: int = 16,
     o2p = _bucket(len(o2), 2)
     D = n1p + n2p
 
-    Sp = np.full((n1p, n2p), -np.inf, dtype=np.float32)
+    COST_INF = np.float32(1e37)
+    NEG_B = np.float32(-1e37)
+    Sp = np.full((n1p, n2p), NEG_B, dtype=np.float32)
     Sp[:n1, :n2] = S_host
     # S in diagonal coordinates (host, vectorized); diag d at Sdiag[d-1]
     ys = np.arange(n1p)
     xg = np.arange(1, D + 1)[:, None] - ys[None, :]
     inrange = (xg >= 0) & (xg < n2p)
     Sdiag = np.where(inrange, Sp[ys[None, :], np.clip(xg, 0, n2p - 1)],
-                     -np.inf).astype(np.float32)
-    C1T = np.full((o1p, n1p), np.inf, dtype=np.float32)
-    C1T[:C1.shape[1], :n1] = C1.T
+                     NEG_B).astype(np.float32)
+    Sdiag = np.clip(Sdiag, NEG_B, None)
+    Sdiag[np.isnan(Sdiag)] = NEG_B
+    C1T = np.full((o1p, n1p), COST_INF, dtype=np.float32)
+    C1T[:C1.shape[1], :n1] = np.minimum(C1.T, COST_INF)
     # reversed-padded C2, reshaped to R rows of n1p lanes per offset j:
     # P_j[(D-1-d)+y] == C2[d-y, j]; C2rev[j*R + k//n1p, k%n1p] = P_j[k]
     Lp = 2 * n1p + n2p
     R = Lp // n1p + 2
-    C2p = np.full((n2p, o2p), np.inf, dtype=np.float32)
-    C2p[:n2, :C2.shape[1]] = C2
-    P = np.full((o2p, R * n1p), np.inf, dtype=np.float32)
+    C2p = np.full((n2p, o2p), COST_INF, dtype=np.float32)
+    C2p[:n2, :C2.shape[1]] = np.minimum(C2, COST_INF)
+    P = np.full((o2p, R * n1p), COST_INF, dtype=np.float32)
     P[:, n1p:n1p + n2p] = C2p[::-1].T
     C2rev = P.reshape(o2p * R, n1p)
 
@@ -230,6 +238,8 @@ def fill_dp_pallas(g1, g2, S_host, scores, max_offsets: int = 16,
     X = _diags_to_matrix(np.asarray(BufX), n1, n2)
     Y = _diags_to_matrix(np.asarray(BufY), n1, n2)
     W = _diags_to_matrix(np.asarray(BufW), n1, n2)
+    for A in (M, X, Y, W):
+        A[A <= np.float32(-1e36)] = -np.inf
     W[0, 0] = np.float32(scores.start_init)
 
     Wend = _end_state(g1, g2, M, X, Y, scores)

@@ -57,7 +57,29 @@ CASES = [
     ("c4_cs_F.sto", ["-c", FIX + "/cs16.lib", "-F", "--ancestral_seqs",
                      "-t", G + "/tree0_fam6.nwk", FIX + "/fam6.fasta"]),
     ("c4_aafreqs.sto", ["-F", "--ancestral_seqs", FIX + "/fam6.fasta"]),
+    ("c5_rep8_t.fasta", ["--fasta", "--read_repeats", FIX + "/rep8.trd",
+                         "-t", G + "/tree0_rep8.nwk", FIX + "/rep8.fasta"]),
+    ("c5_rep8_ra_t.fasta", ["--fasta", "--read_repeats", FIX + "/rep8.trd",
+                            "--repalign", "-t", G + "/tree0_rep8.nwk",
+                            FIX + "/rep8.fasta"]),
+    ("t_fam6_er.fasta", ["--fasta", "--early_refinement", "-t",
+                         G + "/tree0_fam6.nwk", FIX + "/fam6.fasta"]),
+    ("t_fam6_io.fasta", ["--fasta", "-I", "-t", G + "/tree0_fam6.nwk",
+                         FIX + "/fam6.fasta"]),
+    ("c1_fam6_at.sto", ["--all_trees", FIX + "/fam6.fasta"]),
 ]
+
+
+def test_profile_out(tmp_path):
+    out = str(tmp_path / "aln")
+    prof = str(tmp_path / "prof")
+    run_cli(["--fasta", "--profile_out", prof, "-t", G + "/tree0_fam20.nwk",
+             FIX + "/fam20.fasta"], out)
+    with open(prof) as f:
+        mine = f.read()
+    with open(os.path.join(G, "t_fam20.profile")) as f:
+        expected = f.read()
+    assert mine == expected
 
 
 @pytest.mark.parametrize("golden,args", CASES, ids=[c[0] for c in CASES])
