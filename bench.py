@@ -63,21 +63,16 @@ def main():
         s2b[b, :len(c2)] = c2
         cells += (len(c1) + 1) * (len(c2) + 1)
 
-    # warmup (compile)
-    CHUNK = 512
-    A._batched_W(s1b[:CHUNK], None, s2b[:CHUNK], None, scoring, go, ge)
+    from prographmsa_tpu.distances.nw_device import nw_counts_device
+    l1 = np.array([len(codes[order[i]]) for i, _ in pairs], dtype=np.int32)
+    l2 = np.array([len(codes[order[j]]) for _, j in pairs], dtype=np.int32)
 
+    # all 4950 pairs in one fused fill+backtrack kernel call
+    nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, 20)  # compile
     t0 = time.time()
-    for start in range(0, B, CHUNK):
-        end = min(start + CHUNK, B)
-        sl1 = np.zeros((CHUNK, L), dtype=np.int32)
-        sl2 = np.zeros((CHUNK, L), dtype=np.int32)
-        sl1[:end - start] = s1b[start:end]
-        sl2[:end - start] = s2b[start:end]
-        A._batched_W(sl1, None, sl2, None, scoring, go, ge)
+    nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, 20)
     dt = time.time() - t0
-    # padded cells actually computed on device:
-    padded_cells = ((B + CHUNK - 1) // CHUNK) * CHUNK * (L + 1) * (L + 1)
+    padded_cells = B * (L + 1) * (L + 1)
     cells_per_s = padded_cells / dt
 
     # reference baseline: identical all-pairs NW distances (+ NJ) wall time

@@ -191,7 +191,11 @@ def _backtrack_pair(W, X, Y, s1, s2, scoring, dim):
 
 
 def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
-                         factory, options, batch_pairs: int = 512):
+                         factory, options, batch_pairs: int = 2048,
+                         host_backtrack: bool = False):
+    """All-pairs NW distances.  Default path: fused fill+backtrack on device
+    (distances/nw_device.py) — only counts/gaps transfer.  The host-backtrack
+    path is kept as a differential oracle (exact ints: identical results)."""
     n = len(order)
     scoring = _load_scoring(spec.name)
     go, ge = GAP_PARAMS[spec.name]
@@ -218,17 +222,30 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
             s2b[b, :len(c2)] = c2
             l1[b], l2[b] = len(c1), len(c2)
 
-        W = _batched_W(s1b, l1, s2b, l2, scoring, go, ge)
-        X, Y = _reconstruct_XY(W, go, ge)
+        if host_backtrack:
+            W = _batched_W(s1b, l1, s2b, l2, scoring, go, ge)
+            X, Y = _reconstruct_XY(W, go, ge)
+            counts_b, gaps_b = [], []
+            for b, (i, j) in enumerate(chunk):
+                c1, c2 = codes[order[i]], codes[order[j]]
+                counts, gaps = _backtrack_pair(
+                    W[b, :len(c2) + 1, :len(c1) + 1],
+                    X[b, :len(c2) + 1, :len(c1) + 1],
+                    Y[b, :len(c2) + 1, :len(c1) + 1],
+                    c1, c2, scoring, spec.DIM)
+                counts_b.append(counts)
+                gaps_b.append(gaps)
+        else:
+            from .nw_device import nw_counts_device
+            counts_all, gaps_all = nw_counts_device(
+                s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
+            counts_b = counts_all[:len(chunk)]
+            gaps_b = gaps_all[:len(chunk)]
 
         for b, (i, j) in enumerate(chunk):
             c1, c2 = codes[order[i]], codes[order[j]]
-            counts, gaps = _backtrack_pair(
-                W[b, :len(c2) + 1, :len(c1) + 1],
-                X[b, :len(c2) + 1, :len(c1) + 1],
-                Y[b, :len(c2) + 1, :len(c1) + 1],
-                c1, c2, scoring, spec.DIM)
-            dv = compute_distance(counts, gaps,
+            dv = compute_distance(counts_b[b].astype(np.int64),
+                                  int(gaps_b[b]),
                                   (len(c1) + len(c2)) / 2.0, factory,
                                   options, spec.name)
             distances[i, j] = distances[j, i] = dv.dist
