@@ -15,3 +15,10 @@ if not os.environ.get("PROGRAPHMSA_TEST_TPU"):
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+
+    # The axon sitecustomize registers the TPU backend at interpreter start
+    # and pins jax_platforms=axon BEFORE conftest runs, so the env vars
+    # above are not enough here; the config update below is (verified:
+    # no backend has been instantiated yet at conftest time).
+    import jax
+    jax.config.update("jax_platforms", "cpu")

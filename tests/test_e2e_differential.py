@@ -16,6 +16,8 @@ G = os.path.join(FIX, "golden")
 def run_cli(args, out_path):
     cmd = [sys.executable, "-m", "prographmsa_tpu.cli"] + args + ["-o", out_path]
     env = dict(os.environ, PYTHONWARNINGS="ignore", JAX_PLATFORMS="cpu")
+    # the axon sitecustomize would re-pin the TPU backend in the subprocess
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     subprocess.run(cmd, cwd=REPO, check=True, env=env,
                    capture_output=True, timeout=900)
 
