@@ -59,6 +59,10 @@ CASES = [
     ("c4_cs_F.sto", ["-c", FIX + "/cs16.lib", "-F", "--ancestral_seqs",
                      "-t", G + "/tree0_fam6.nwk", FIX + "/fam6.fasta"]),
     ("c4_aafreqs.sto", ["-F", "--ancestral_seqs", FIX + "/fam6.fasta"]),
+    ("r_fam6.fasta", ["--fasta", "-r", FIX + "/fam6.fasta"]),
+    ("rr_fam6.fasta", ["--fasta", "-r", "-r", FIX + "/fam6.fasta"]),
+    ("r_fam6_t.fasta", ["--fasta", "-r", "-t", G + "/tree0_fam6.nwk",
+                        FIX + "/fam6.fasta"]),
     ("c5_rep8_t.fasta", ["--fasta", "--read_repeats", FIX + "/rep8.trd",
                          "-t", G + "/tree0_rep8.nwk", FIX + "/rep8.fasta"]),
     ("c5_rep8_ra_t.fasta", ["--fasta", "--read_repeats", FIX + "/rep8.trd",
