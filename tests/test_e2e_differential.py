@@ -59,6 +59,9 @@ CASES = [
     ("c4_cs_F.sto", ["-c", FIX + "/cs16.lib", "-F", "--ancestral_seqs",
                      "-t", G + "/tree0_fam6.nwk", FIX + "/fam6.fasta"]),
     ("c4_aafreqs.sto", ["-F", "--ancestral_seqs", FIX + "/fam6.fasta"]),
+    ("W_fam6.fasta", ["--fasta", "-W", FIX + "/fam6.fasta"]),
+    ("WW_fam6.fasta", ["--fasta", "-W", "-W", FIX + "/fam6.fasta"]),
+    ("W_tree_fam6.nwk", ["-T", "-W", FIX + "/fam6.fasta"]),
     ("r_fam6.fasta", ["--fasta", "-r", FIX + "/fam6.fasta"]),
     ("rr_fam6.fasta", ["--fasta", "-r", "-r", FIX + "/fam6.fasta"]),
     ("r_fam6_t.fasta", ["--fasta", "-r", "-t", G + "/tree0_fam6.nwk",
