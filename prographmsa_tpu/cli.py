@@ -11,7 +11,7 @@ import numpy as np
 
 from .config import Options
 from . import alphabet as al
-from .io.fasta import read_fasta, write_fasta
+from .io.fasta import FastaError, read_fasta, write_fasta
 from .io.newick import parse_newick
 from .io.stockholm import write_stockholm
 from .models.factory import get_default_model_factory
@@ -263,9 +263,14 @@ def main(argv=None) -> int:
         finally:
             if options.output_file:
                 out.close()
+    except (FastaError, ValueError) as e:
+        # these map to the reference's error() -> "error: msg" + abort()
+        # (debug.cpp:44-52); abort exits via SIGABRT = status 134
+        print("error: %s" % e, file=sys.stderr)
+        return 134
     except Exception as e:  # noqa: BLE001  (parity: main.cpp:315-319)
         print("ERROR:%s" % e, file=sys.stderr)
-        raise
+        return 2
     return 0
 
 

@@ -11,13 +11,22 @@ from typing import Dict, List, Tuple
 
 
 class FastaError(Exception):
-    pass
+    """Mirrors fasta_exception (Fasta.cpp:41,45): uncaught in the reference
+    main, so it terminates the process via std::terminate (exit 134)."""
+
+
+class FastaAbort(Exception):
+    """Mirrors the error() path (Fasta.cpp:88,102 -> debug.cpp:44-52):
+    prints "error: msg" to stderr and aborts (exit 134)."""
 
 
 def read_fasta(path: str) -> Tuple[Dict[str, str], List[str]]:
     """Returns ({name: seq}, input_order). Mirrors FastaLib::readAll."""
-    with open(path, "r") as f:
-        text = f.read()
+    try:
+        with open(path, "r") as f:
+            text = f.read()
+    except OSError:
+        raise FastaError("error opening file")
     if not text.startswith(">"):
         raise FastaError("format error")
     seqs: Dict[str, str] = {}
