@@ -19,7 +19,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .ml import compute_distance
+from .ml import compute_distances_batch
 
 _DATA = os.path.join(os.path.dirname(__file__), "..", "models", "data",
                      "nw_scoring.npz")
@@ -242,12 +242,14 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
             counts_b = counts_all[:len(chunk)]
             gaps_b = gaps_all[:len(chunk)]
 
+        nb = len(chunk)
+        seqlens = np.array([(lens[order[i]] + lens[order[j]]) / 2.0
+                            for (i, j) in chunk])
+        db, vb = compute_distances_batch(
+            np.asarray(counts_b[:nb], dtype=np.int64),
+            np.asarray(gaps_b[:nb], dtype=np.int64), seqlens, factory,
+            options, spec.name)
         for b, (i, j) in enumerate(chunk):
-            c1, c2 = codes[order[i]], codes[order[j]]
-            dv = compute_distance(counts_b[b].astype(np.int64),
-                                  int(gaps_b[b]),
-                                  (len(c1) + len(c2)) / 2.0, factory,
-                                  options, spec.name)
-            distances[i, j] = distances[j, i] = dv.dist
-            variances[i, j] = variances[j, i] = dv.var
+            distances[i, j] = distances[j, i] = db[b]
+            variances[i, j] = variances[j, i] = vb[b]
     return distances, variances

@@ -87,6 +87,135 @@ def compute_ml_dist(counts: np.ndarray, gaps: int, seqlen: float,
     return DistVar(dist, var)
 
 
+def _batched_P(factory, dists: np.ndarray) -> np.ndarray:
+    """P(d) for a whole batch of distances: ``(V * exp(sigma d)) @ Vi`` with
+    the eigendecomposition done once (the expm strategy of ModelFactory.h:62,
+    vectorized).  np.matmul over the stacked batch runs the same dgemm per
+    slice as the scalar path, so each P is bit-identical to
+    ``factory.P_of(d)``."""
+    e = np.exp(factory.sigma[None, :] * dists[:, None])          # [B, DIM]
+    return np.matmul(factory.V[None, :, :] * e[:, None, :], factory.Vi)
+
+
+def compute_ml_dist_batch(c: np.ndarray, gaps: np.ndarray, seqlens: np.ndarray,
+                          dist0: np.ndarray, var0: np.ndarray, mask: np.ndarray,
+                          factory, options, alphabet_name: str):
+    """Vectorized Newton/bisection over all pairs at once — the batched form
+    of ``compute_ml_dist`` (DistanceFactoryML.h:67-136).  Lane-exact: every
+    active lane performs the identical float64 operation sequence as the
+    scalar loop, frozen lanes carry their converged values, so results are
+    bit-identical to per-pair calls (tests/test_ml_batch.py).
+
+    ``c``: [B, DIM, DIM] float64 counts; ``mask``: lanes that run Newton.
+    Returns (dist [B], var [B]) for masked lanes (unmasked lanes return
+    dist0/var0 unchanged).
+    """
+    B = c.shape[0]
+    dist = dist0.astype(np.float64).copy()
+    var = var0.astype(np.float64).copy()
+    dist_min = np.zeros(B)
+    dist_max = np.full(B, np.inf)
+    active = mask.copy()
+    Q = factory.Q
+
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for _ in range(MAXITER + 1):
+            if not active.any():
+                break
+            # Compact to the active lanes: boolean indexing keeps each
+            # [DIM, DIM] slice contiguous, so every per-lane operation
+            # (slice-wise dgemm, elementwise, per-slice pairwise sum) is the
+            # operation the full-batch — and hence the scalar loop — performs.
+            a = np.flatnonzero(active)
+            da, ca = dist[a], c[a]
+            # parse_distance clamp for the model only (ModelFactory.h:104-127);
+            # the Newton iterate itself stays unclamped (parity quirk, see
+            # module docstring).
+            dd = np.maximum(0.0, da)
+            dd = np.where(np.isnan(dd), 5.2, dd)
+            dd = np.maximum(np.minimum(dd, options.max_dist), options.min_dist)
+            p = _batched_P(factory, dd)                          # [A, D, D]
+            pp = np.matmul(Q, p)
+            ppp = np.matmul(Q, pp)
+
+            if options.mldist_gap_flag:
+                grate = options.indel_rate * seqlens[a] * da
+                g = (-grate + gaps[a]) / da
+                gg = -gaps[a] / (da * da)
+                f = (ca * pp / p).sum(axis=(1, 2)) + g
+                ff = ((ca * (ppp * p - pp * pp)) / (p * p)).sum(axis=(1, 2)) + gg
+            else:
+                f = (ca * pp / p).sum(axis=(1, 2))
+                ff = ((ca * (ppp * p - pp * pp)) / (p * p)).sum(axis=(1, 2))
+
+            var[a] = -1.0 / ff
+
+            fpos = f > 0
+            dmin_new = np.where(fpos, np.maximum(dist_min[a], da), dist_min[a])
+            dmax_new = np.where(fpos, dist_max[a], np.minimum(dist_max[a], da))
+
+            new_dist = da - f / ff
+            ok = (new_dist < dmax_new) & (new_dist > dmin_new)
+            upper = np.where(dmax_new == np.inf, da * 3, dmax_new)
+            new_dist = np.where(ok, new_dist, (upper + dmin_new) / 2.0)
+            delta = 1.0 - new_dist / da
+
+            dist_min[a] = dmin_new
+            dist_max[a] = dmax_new
+            dist[a] = new_dist
+            # NaN delta exits the scalar while-loop too (abs(nan) > eps is
+            # False) — reproduced here.
+            active[a] = np.abs(delta) > EPSILON
+
+    # iteration > MAXITER fallback (DistanceFactoryML.h:73-81)
+    fb_hi = dist_max == np.inf
+    dist = np.where(active, np.where(fb_hi, DIST_MAX[alphabet_name], dist0),
+                    dist)
+    var = np.where(active, np.where(fb_hi, VAR_MAX[alphabet_name], var0), var)
+    return dist, var
+
+
+def compute_distances_batch(counts: np.ndarray, gaps: np.ndarray,
+                            seqlens: np.ndarray, factory, options,
+                            alphabet_name: str):
+    """Batched ``compute_distance`` (DistanceFactoryML.h:139-190) over all
+    pairs at once: [B, DIM, DIM] counts -> (dist [B], var [B]), bit-identical
+    per lane to the scalar function."""
+    c = counts.astype(np.float64)
+    ident = np.trace(c, axis1=1, axis2=2)
+    total = c.sum(axis=(1, 2))
+
+    dmax = DIST_MAX[alphabet_name]
+    vmax = VAR_MAX[alphabet_name]
+    vmin = VAR_MIN[alphabet_name]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dist0 = np.where(total > 0, 1.0 - ident / total, np.nan)
+
+        if options.mldist_flag or options.mldist_gap_flag:
+            bad = (total == 0) | (dist0 > 0.85)
+            d_t = np.where(bad, dmax,
+                           -np.log(1.0 - dist0 - 0.2 * dist0 * dist0))
+            dist = d_t.copy()
+            var = np.where(bad, vmax, d_t / total)
+            newton = (total > 0) & (ident != total)
+            if newton.any():
+                dist, var = compute_ml_dist_batch(
+                    c, gaps.astype(np.float64), seqlens.astype(np.float64),
+                    dist, var, newton, factory, options, alphabet_name)
+        else:
+            dist = np.where(total == 0, 1.0, dist0)
+            var = np.where(total == 0, vmax, dist0 / total)
+
+    over = ~(dist < dmax)
+    dist = np.where(over, dmax, dist)
+    var = np.where(over, vmax, var)
+    dist = np.where(dist > options.cutoff_dist, options.cutoff_dist, dist)
+    var = np.where(var < vmin, vmin, var)
+    var = np.where(~(var < vmax), vmax, var)
+    return dist, var
+
+
 def compute_distance(counts: np.ndarray, gaps: int, seqlen: float,
                      factory, options, alphabet_name: str) -> DistVar:
     """DistanceFactoryML::computeDistance (DistanceFactoryML.h:139-190)."""

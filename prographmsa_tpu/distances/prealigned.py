@@ -16,7 +16,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .ml import compute_distance
+from .ml import compute_distances_batch
 
 
 def _pair_stats(vals1, gap1, vals2, gap2, dim, count_bound):
@@ -62,13 +62,20 @@ def compute_prealigned_distances(spec, seqs: Dict[str, np.ndarray],
     vals = {name: spec.values(seqs[name]) for name in order}
     gapm = {name: spec.is_gap(seqs[name]) for name in order}
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            counts, gaps = _pair_stats(vals[order[i]], gapm[order[i]],
-                                       vals[order[j]], gapm[order[j]],
-                                       spec.DIM, count_bound)
-            L = (len(vals[order[i]]) + len(vals[order[j]])) / 2.0
-            dv = compute_distance(counts, gaps, L, factory, options, spec.name)
-            distances[i, j] = distances[j, i] = dv.dist
-            variances[i, j] = variances[j, i] = dv.var
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    counts_b = np.zeros((len(pairs), spec.DIM, spec.DIM), dtype=np.int64)
+    gaps_b = np.zeros(len(pairs), dtype=np.int64)
+    seqlens = np.zeros(len(pairs))
+    for k, (i, j) in enumerate(pairs):
+        counts, gaps = _pair_stats(vals[order[i]], gapm[order[i]],
+                                   vals[order[j]], gapm[order[j]],
+                                   spec.DIM, count_bound)
+        counts_b[k] = counts
+        gaps_b[k] = gaps
+        seqlens[k] = (len(vals[order[i]]) + len(vals[order[j]])) / 2.0
+    db, vb = compute_distances_batch(counts_b, gaps_b, seqlens, factory,
+                                     options, spec.name)
+    for k, (i, j) in enumerate(pairs):
+        distances[i, j] = distances[j, i] = db[k]
+        variances[i, j] = variances[j, i] = vb[k]
     return distances, variances
