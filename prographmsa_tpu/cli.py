@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("-i", "--iterations", type=int, default=None)
     a("--all_trees", action="store_true")
     a("--ancestral_seqs", action="store_true")
+    # extension (not a reference flag): kernel engine selection
+    a("--engine", choices=("auto", "native", "numpy", "device"),
+      default="auto", help="DP kernel engine (all are bit-identical): "
+      "auto = native C++ host kernels when available, numpy otherwise; "
+      "device = per-node JAX/TPU kernels")
     return p
 
 
@@ -100,6 +105,7 @@ def options_from_args(args) -> Options:
         repeatext_prob=args.repeat_indel_ext,
         max_dist=args.max_dist, min_dist=args.min_dist,
         max_pdist=args.max_pdist, min_pdist=args.min_pdist,
+        engine=args.engine,
     )
     # codon default rescaling (main.cpp:225-241): only when flags unset
     defaults = dict(indel_set="--indel_rate" in sys.argv or "-g" in sys.argv,

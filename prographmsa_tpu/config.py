@@ -63,6 +63,13 @@ class Options:
     max_pdist: float = 0.8
     min_pdist: float = 0.05
 
+    # --- execution engine (extension; not a reference flag) ---
+    # "auto": native C++ host kernels when available, numpy otherwise;
+    # "native"/"numpy": force those; "device": per-node JAX DP kernels.
+    # All engines produce bit-identical output (tests/test_native.py,
+    # tests/test_dp_device.py).
+    engine: str = "auto"
+
     def with_codon_rescaling(
         self,
         indel_set: bool = False,

@@ -222,7 +222,14 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
             s2b[b, :len(c2)] = c2
             l1[b], l2[b] = len(c1), len(c2)
 
-        if host_backtrack:
+        native_res = None
+        if not host_backtrack and options.engine in ("auto", "native"):
+            from .. import native
+            native_res = native.nw_counts_native(s1b, s2b, l1, l2, scoring,
+                                                 go, ge, spec.DIM)
+        if native_res is not None:
+            counts_b, gaps_b = native_res
+        elif host_backtrack:
             W = _batched_W(s1b, l1, s2b, l2, scoring, go, ge)
             X, Y = _reconstruct_XY(W, go, ge)
             counts_b, gaps_b = [], []

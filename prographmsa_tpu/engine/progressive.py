@@ -33,12 +33,31 @@ class ProgressiveAlignmentResult:
 
 
 def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
-    """alignGraphs (GraphAlign.h:201-534): scores -> S-matrix GEMM ->
-    wavefront DP fill -> host backtrack."""
+    """alignGraphs (GraphAlign.h:201-534): scores -> S-matrix GEMM -> DP
+    fill -> backtrack.  Engine selection (options.engine): the native C++
+    kernels, the per-node device kernel, or the numpy reference path — all
+    bit-identical (tests/test_native.py, tests/test_dp_device.py)."""
     scores = DynProgScores(g1, g2, model, options)
     S = precompute_scores(g1, g2, model, scores)
-    dp = fill_dp(g1, g2, S, scores)
-    return backtrack(g1, g2, dp, scores), scores
+    engine = options.engine
+
+    dp = None
+    if engine in ("auto", "native"):
+        from .. import native
+        dp = native.fill_dp_native(g1, g2, S, scores)
+    if dp is None and engine == "device":
+        from ..align.dp_jax import fill_dp_device
+        dp = fill_dp_device(g1, g2, S, scores)
+    if dp is None:
+        dp = fill_dp(g1, g2, S, scores)
+
+    aln = None
+    if engine in ("auto", "native"):
+        from .. import native
+        aln = native.backtrack_native(g1, g2, dp, scores)
+    if aln is None:
+        aln = backtrack(g1, g2, dp, scores)
+    return aln, scores
 
 
 def extend_alignment(result, mapping, aligned_sequences, gap_code):

@@ -1,0 +1,175 @@
+"""Native host engine bindings (ctypes, no pybind11 dependency).
+
+Compiles graphcore.cpp on first use into the package directory (cached by
+mtime) and exposes typed wrappers.  The native tier is optional: callers
+must handle ``lib() is None`` (no compiler / PROGRAPHMSA_NATIVE=0) by using
+the numpy reference implementations, which are bit-identical.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "graphcore.cpp")
+_SO = os.path.join(_DIR, "graphcore.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_CFLAGS = ["-O3", "-fPIC", "-shared", "-ffp-contract=off", "-std=c++17"]
+
+
+def _build() -> bool:
+    cmd = ["g++", *_CFLAGS, "-o", _SO + ".tmp", _SRC, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def lib():
+    """The loaded graphcore library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("PROGRAPHMSA_NATIVE", "1") == "0":
+            return None
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                if not _build():
+                    return None
+            L = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        i32 = ctypes.c_int32
+        f32 = ctypes.c_float
+        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        pf32_1 = ctypes.POINTER(ctypes.c_float)
+
+        L.gc_fill_dp.restype = None
+        L.gc_fill_dp.argtypes = [i32, i32, i32, i32, pi32, pf32, pi32, pf32,
+                                 pf32, f32, f32, f32, f32, f32, f32, f32,
+                                 pf32, pf32, pf32, pf32, pf32_1]
+        L.gc_backtrack.restype = i32
+        L.gc_backtrack.argtypes = [i32, i32, i32, i32, pi32, pf32, pi32, pf32,
+                                   pf32, pf32, pf32, pf32, pf32, f32, f32,
+                                   f32, f32, f32, f32, pi32, pi32]
+        L.gc_nw_batch.restype = None
+        L.gc_nw_batch.argtypes = [i32, i32, i32, pi32, pi32, pi32, pi32,
+                                  pi32, i32, i32, i32, i32, i32, pi64, pi32]
+        _lib = L
+        return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def n_threads() -> int:
+    env = os.environ.get("PROGRAPHMSA_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
+# ----------------------------------------------------------------------
+def fill_dp_native(g1, g2, S, scores):
+    """Native gc_fill_dp -> DPMatrices, bit-identical to align/dp.fill_dp.
+    Returns None when the library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    from ..align.dp import DPMatrices, _padded_with_repeat_costs
+
+    idx1, cost1, _ = _padded_with_repeat_costs(g1, scores)
+    idx2, cost2, _ = _padded_with_repeat_costs(g2, scores)
+    n1, n2 = g1.size, g2.size
+    M = np.empty((n1, n2), dtype=np.float32)
+    X = np.empty((n1, n2), dtype=np.float32)
+    Y = np.empty((n1, n2), dtype=np.float32)
+    W = np.empty((n1, n2), dtype=np.float32)
+    Sf = np.ascontiguousarray(S, dtype=np.float32)
+    wend = ctypes.c_float()
+    L.gc_fill_dp(n1, n2, idx1.shape[1], idx2.shape[1],
+                 np.ascontiguousarray(idx1), np.ascontiguousarray(cost1),
+                 np.ascontiguousarray(idx2), np.ascontiguousarray(cost2),
+                 Sf, np.float32(scores.gap_extend), np.float32(scores.gap_init),
+                 np.float32(scores.start_gap), np.float32(scores.start_init),
+                 np.float32(scores.end_match), np.float32(scores.end_gap),
+                 np.float32(scores.end_skip), M, X, Y, W,
+                 ctypes.byref(wend))
+    return DPMatrices(M=M, X=X, Y=Y, W=W, S=Sf,
+                      Wend=np.float32(wend.value))
+
+
+def backtrack_native(g1, g2, dp, scores):
+    """Native gc_backtrack -> AlignmentResult for repeat-free graph pairs;
+    None when unavailable/not applicable (caller falls back to Python)."""
+    L = lib()
+    if L is None:
+        return None
+    if any(g1.reps[i] for i in range(g1.size)):
+        return None
+    if any(g2.reps[i] for i in range(g2.size)):
+        return None
+    from ..align.dp import _padded_with_repeat_costs
+    from ..align.backtrack import AlignmentResult
+
+    idx1, cost1, _ = _padded_with_repeat_costs(g1, scores)
+    idx2, cost2, _ = _padded_with_repeat_costs(g2, scores)
+    n1, n2 = g1.size, g2.size
+    cap = n1 + n2 + 4
+    map1 = np.empty(cap, dtype=np.int32)
+    map2 = np.empty(cap, dtype=np.int32)
+    n = L.gc_backtrack(n1, n2, idx1.shape[1], idx2.shape[1],
+                       np.ascontiguousarray(idx1), np.ascontiguousarray(cost1),
+                       np.ascontiguousarray(idx2), np.ascontiguousarray(cost2),
+                       np.ascontiguousarray(dp.S, dtype=np.float32),
+                       np.ascontiguousarray(dp.M), np.ascontiguousarray(dp.X),
+                       np.ascontiguousarray(dp.Y), np.ascontiguousarray(dp.W),
+                       np.float32(dp.Wend), np.float32(scores.gap_extend),
+                       np.float32(scores.gap_init),
+                       np.float32(scores.end_match),
+                       np.float32(scores.end_gap),
+                       np.float32(scores.end_skip), map1, map2)
+    if n < 0:
+        return None
+    return AlignmentResult(score=dp.Wend, n_tr_indels=0,
+                           mapping1=list(map1[:n][::-1]),
+                           mapping2=list(map2[:n][::-1]))
+
+
+def nw_counts_native(s1b, s2b, l1, l2, scoring, go, ge, dim):
+    """Native threaded NW fill+backtrack; (counts [B,dim,dim] i64, gaps [B]).
+    None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    B = s1b.shape[0]
+    counts = np.zeros((B, dim, dim), dtype=np.int64)
+    gaps = np.zeros(B, dtype=np.int32)
+    L.gc_nw_batch(B, s1b.shape[1], s2b.shape[1],
+                  np.ascontiguousarray(s1b, dtype=np.int32),
+                  np.ascontiguousarray(l1, dtype=np.int32),
+                  np.ascontiguousarray(s2b, dtype=np.int32),
+                  np.ascontiguousarray(l2, dtype=np.int32),
+                  np.ascontiguousarray(scoring, dtype=np.int32),
+                  scoring.shape[0], dim, go, ge, n_threads(), counts, gaps)
+    return counts, gaps

@@ -1,0 +1,368 @@
+// graphcore: native host engine for the hot per-node-pair kernels.
+//
+// This is the C++ tier of the framework's runtime (the TPU tier is the
+// batched JAX/Pallas path in align/dp_jax.py + engine/level_engine.py): on
+// hosts where device round-trips would dominate (tunneled or small
+// problems), these routines run the same recurrences at native speed.
+//
+// Numerical contract: bit-identical float32 results with align/dp.py /
+// align/backtrack.py (which in turn reproduce
+// /root/reference/src/GraphAlign.h:201-534 semantics).  Everything here is
+// pure add/sub/fmaxf on float32 in the same operation order — compile with
+// -ffp-contract=off so no FMA contraction changes rounding.
+//
+// Data layout (from Graph.padded(), graph/graph.py:159): per-node padded
+// predecessor arrays idx[n,E] (int32, -1 = empty slot) and cost[n,E]
+// (float32, repeat-edge costs pre-materialized by the caller).  Padded
+// slots contribute -inf candidates in the numpy path and are skipped here —
+// identical results.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+const float NEG_INF = -INFINITY;
+}
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Graph-pair M/X/Y/W fill (align/dp.py fill_dp; GraphAlign.h:201-280).
+// Returns Wend through *wend.
+void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
+                const int32_t* idx1, const float* cost1,
+                const int32_t* idx2, const float* cost2,
+                const float* S, float ge, float gi, float sg,
+                float start_init, float end_match, float end_gap,
+                float end_skip, float* M, float* X, float* Y, float* W,
+                float* wend) {
+  const int64_t cells = (int64_t)n1 * n2;
+  for (int64_t k = 0; k < cells; ++k) M[k] = NEG_INF;
+  memcpy(X, M, cells * sizeof(float));
+  memcpy(Y, M, cells * sizeof(float));
+  memcpy(W, M, cells * sizeof(float));
+  W[0] = start_init;
+
+#define IDX(a, y, x) a[(int64_t)(y) * n2 + (x)]
+
+  // boundary column x = 0 (GraphAlign.h:214-223)
+  for (int32_t y = 1; y <= n1 - 2; ++y) {
+    float acc = NEG_INF;
+    for (int32_t i = 0; i < e1; ++i) {
+      int32_t yp = idx1[(int64_t)y * e1 + i];
+      if (yp < 0) continue;
+      float cy = cost1[(int64_t)y * e1 + i];
+      float cand = fmaxf(IDX(Y, yp, 0) + ge, IDX(W, yp, 0) + sg) - cy;
+      acc = fmaxf(acc, cand);
+    }
+    IDX(Y, y, 0) = acc;
+    IDX(W, y, 0) = acc;
+  }
+  // boundary row y = 0 (GraphAlign.h:225-234)
+  for (int32_t x = 1; x <= n2 - 2; ++x) {
+    float acc = NEG_INF;
+    for (int32_t j = 0; j < e2; ++j) {
+      int32_t xp = idx2[(int64_t)x * e2 + j];
+      if (xp < 0) continue;
+      float cx = cost2[(int64_t)x * e2 + j];
+      float cand = fmaxf(IDX(X, 0, xp) + ge, IDX(W, 0, xp) + sg) - cx;
+      acc = fmaxf(acc, cand);
+    }
+    IDX(X, 0, x) = acc;
+    IDX(W, 0, x) = acc;
+  }
+
+  // interior (GraphAlign.h:238-260); row-major is valid because every
+  // predecessor index is strictly smaller than its node
+  for (int32_t y = 1; y <= n1 - 2; ++y) {
+    const int32_t* i1 = idx1 + (int64_t)y * e1;
+    const float* c1 = cost1 + (int64_t)y * e1;
+    for (int32_t x = 1; x <= n2 - 2; ++x) {
+      const int32_t* i2 = idx2 + (int64_t)x * e2;
+      const float* c2 = cost2 + (int64_t)x * e2;
+      const float s = IDX(S, y, x);
+      float m = NEG_INF, sx = NEG_INF, sy = NEG_INF;
+      for (int32_t i = 0; i < e1; ++i) {
+        int32_t yp = i1[i];
+        if (yp < 0) continue;
+        float cy = c1[i];
+        sy = fmaxf(sy, fmaxf(IDX(Y, yp, x) + ge, IDX(W, yp, x) + gi) - cy);
+        const float* wrow = W + (int64_t)yp * n2;
+        for (int32_t j = 0; j < e2; ++j) {
+          int32_t xp = i2[j];
+          if (xp < 0) continue;
+          float t = ((wrow[xp] + s) - cy) - c2[j];
+          m = fmaxf(m, t);
+        }
+      }
+      for (int32_t j = 0; j < e2; ++j) {
+        int32_t xp = i2[j];
+        if (xp < 0) continue;
+        float cx = c2[j];
+        sx = fmaxf(sx, fmaxf(IDX(X, y, xp) + ge, IDX(W, y, xp) + gi) - cx);
+      }
+      IDX(M, y, x) = m;
+      IDX(X, y, x) = sx;
+      IDX(Y, y, x) = sy;
+      IDX(W, y, x) = fmaxf(m, fmaxf(sx, sy));
+    }
+  }
+
+  // end-node match (GraphAlign.h:262-280)
+  float we = NEG_INF;
+  for (int32_t i = 0; i < e1; ++i) {
+    int32_t yp = idx1[(int64_t)(n1 - 1) * e1 + i];
+    if (yp < 0) continue;
+    float cy = cost1[(int64_t)(n1 - 1) * e1 + i];
+    for (int32_t j = 0; j < e2; ++j) {
+      int32_t xp = idx2[(int64_t)(n2 - 1) * e2 + j];
+      if (xp < 0) continue;
+      float cx = cost2[(int64_t)(n2 - 1) * e2 + j];
+      if (xp == 0 && yp == 0) {
+        we = fmaxf(((end_skip - cy) - cx), we);
+      } else {
+        we = fmaxf((((IDX(X, yp, xp) + end_gap) - cy) - cx), we);
+        we = fmaxf((((IDX(Y, yp, xp) + end_gap) - cy) - cx), we);
+        we = fmaxf((((IDX(M, yp, xp) + end_match) - cy) - cx), we);
+      }
+    }
+  }
+  *wend = we;
+#undef IDX
+}
+
+// ---------------------------------------------------------------------
+// Backtrack (align/backtrack.py; GraphAlign.h:283-517), repeat-free graphs
+// only (the caller routes graphs with repeat edges to the Python walk,
+// which handles markAlternativePath).  Emits the mapping pair in *reverse*
+// walk order (caller reverses).  Returns the number of emitted columns, or
+// -1 on the "backtracking failed" condition.
+int32_t gc_backtrack(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
+                     const int32_t* idx1, const float* cost1,
+                     const int32_t* idx2, const float* cost2,
+                     const float* S, const float* M, const float* X,
+                     const float* Y, const float* W, float wend, float ge,
+                     float gi, float end_match, float end_gap, float end_skip,
+                     int32_t* map1, int32_t* map2) {
+#define IDX(a, y, x) a[(int64_t)(y) * n2 + (x)]
+  enum { SM = 0, SX = 1, SY = 2 };
+  int32_t out = 0;
+  int32_t y = n1 - 1, x = n2 - 1;
+  map1[out] = y;
+  map2[out] = x;
+  ++out;
+
+  int state = SM;
+  float cur = NEG_INF;
+  float best = INFINITY;
+  // transitions into the end state (GraphAlign.h:304-353)
+  for (int32_t i = 0; i < e1; ++i) {
+    int32_t yp = idx1[(int64_t)(n1 - 1) * e1 + i];
+    if (yp < 0) continue;
+    float cy = cost1[(int64_t)(n1 - 1) * e1 + i];
+    for (int32_t j = 0; j < e2; ++j) {
+      int32_t xp = idx2[(int64_t)(n2 - 1) * e2 + j];
+      if (xp < 0) continue;
+      float cx = cost2[(int64_t)(n2 - 1) * e2 + j];
+      float d = fabsf(wend - (((IDX(M, yp, xp) + end_match) - cy) - cx));
+      if (best > d) { best = d; cur = IDX(M, yp, xp); state = SM; y = yp; x = xp; }
+      d = fabsf(wend - (((IDX(Y, yp, xp) + end_gap) - cy) - cx));
+      if (best > d) { best = d; cur = IDX(Y, yp, xp); state = SY; y = yp; x = xp; }
+      d = fabsf(wend - (((IDX(X, yp, xp) + end_gap) - cy) - cx));
+      if (best > d) { best = d; cur = IDX(X, yp, xp); state = SX; y = yp; x = xp; }
+      if (xp == 0 && yp == 0) {
+        d = fabsf(wend - ((end_skip - cy) - cx));
+        if (best > d) { best = d; y = yp; x = xp; }
+      }
+    }
+  }
+
+  if (x != 0 || y != 0) {
+    map1[out] = (state == SX) ? -1 : y;
+    map2[out] = (state == SY) ? -1 : x;
+    ++out;
+  }
+
+  // non-end transitions (GraphAlign.h:370-517)
+  while (x != 0 || y != 0) {
+    best = INFINITY;
+    float next_score = INFINITY;
+    int next_state = SM;
+    int32_t nx = -1, ny = -1;
+
+    // resolve W==M / W==Y / W==X (GraphAlign.h:400-411); -2 = failure
+    auto resolve = [&](int32_t ry, int32_t rx, float* sc, int* st) -> int {
+      float w = IDX(W, ry, rx);
+      if (w == IDX(M, ry, rx)) { *sc = IDX(M, ry, rx); *st = SM; return 0; }
+      if (w == IDX(Y, ry, rx)) { *sc = IDX(Y, ry, rx); *st = SY; return 0; }
+      if (w == IDX(X, ry, rx)) { *sc = IDX(X, ry, rx); *st = SX; return 0; }
+      return -1;
+    };
+
+    if (state == SY) {
+      for (int32_t i = 0; i < e1; ++i) {
+        int32_t yp = idx1[(int64_t)y * e1 + i];
+        if (yp < 0) continue;
+        float cy = cost1[(int64_t)y * e1 + i];
+        float d = fabsf(cur - ((IDX(Y, yp, x) + ge) - cy));
+        if (best > d) {
+          best = d; nx = x; ny = yp;
+          next_score = IDX(Y, ny, nx); next_state = SY;
+        }
+        d = fabsf(cur - ((IDX(W, yp, x) + gi) - cy));
+        if (best > d) {
+          best = d; nx = x; ny = yp;
+          if (nx != 0 || ny != 0)
+            if (resolve(ny, nx, &next_score, &next_state)) return -1;
+        }
+      }
+    } else if (state == SX) {
+      for (int32_t j = 0; j < e2; ++j) {
+        int32_t xp = idx2[(int64_t)x * e2 + j];
+        if (xp < 0) continue;
+        float cx = cost2[(int64_t)x * e2 + j];
+        float d = fabsf(cur - ((IDX(X, y, xp) + ge) - cx));
+        if (best > d) {
+          best = d; nx = xp; ny = y;
+          next_score = IDX(X, ny, nx); next_state = SX;
+        }
+        d = fabsf(cur - ((IDX(W, y, xp) + gi) - cx));
+        if (best > d) {
+          best = d; nx = xp; ny = y;
+          if (nx != 0 || ny != 0)
+            if (resolve(ny, nx, &next_score, &next_state)) return -1;
+        }
+      }
+    } else {
+      const float s = IDX(S, y, x);
+      for (int32_t i = 0; i < e1; ++i) {
+        int32_t yp = idx1[(int64_t)y * e1 + i];
+        if (yp < 0) continue;
+        float cy = cost1[(int64_t)y * e1 + i];
+        for (int32_t j = 0; j < e2; ++j) {
+          int32_t xp = idx2[(int64_t)x * e2 + j];
+          if (xp < 0) continue;
+          float cx = cost2[(int64_t)x * e2 + j];
+          float d = fabsf(cur - (((IDX(W, yp, xp) + s) - cy) - cx));
+          if (best > d) {
+            best = d; ny = yp; nx = xp;
+            if (nx != 0 || ny != 0)
+              if (resolve(ny, nx, &next_score, &next_state)) return -1;
+          }
+        }
+      }
+    }
+
+    x = nx;
+    y = ny;
+    state = next_state;
+    cur = next_score;
+
+    if (x != 0 || y != 0) {
+      map1[out] = (state == SX) ? -1 : y;
+      map2[out] = (state == SY) ? -1 : x;
+      ++out;
+    }
+  }
+  map1[out] = 0;
+  map2[out] = 0;
+  ++out;
+  return out;
+#undef IDX
+}
+
+// ---------------------------------------------------------------------
+// Batched all-pairs Needleman-Wunsch with affine gaps (int32, exact):
+// fill + backtrack -> substitution counts + gap-opening counts.  Same
+// recurrence/boundaries as distances/align.py _batched_W and the same
+// traceback priority (diagonal, then X, then Y) as _backtrack_pair
+// (DistanceFactoryAlign.h:59-127 semantics).  Threaded over pairs.
+void gc_nw_batch(int32_t n_pairs, int32_t l1max, int32_t l2max,
+                 const int32_t* s1, const int32_t* l1, const int32_t* s2,
+                 const int32_t* l2, const int32_t* scoring, int32_t table_n,
+                 int32_t dim, int32_t go, int32_t ge, int32_t n_threads,
+                 int64_t* counts, int32_t* gaps) {
+  const int32_t MINFTY = -10000;
+  if (n_threads < 1) n_threads = 1;
+
+  auto work = [&](int32_t tid) {
+    std::vector<int32_t> Wv, Xv, Yv;
+    for (int32_t p = tid; p < n_pairs; p += n_threads) {
+      const int32_t L1 = l1[p], L2 = l2[p];
+      const int32_t* a = s1 + (int64_t)p * l1max;
+      const int32_t* b = s2 + (int64_t)p * l2max;
+      const int32_t H = L2 + 1, Wd = L1 + 1;
+      Wv.assign((size_t)H * Wd, MINFTY);
+      Xv.assign((size_t)H * Wd, MINFTY);
+      Yv.assign((size_t)H * Wd, MINFTY);
+#define AT(v, y, x) v[(size_t)(y)*Wd + (x)]
+      AT(Wv, 0, 0) = 0;
+      for (int32_t x = 1; x <= L1; ++x) {
+        AT(Wv, 0, x) = go + (x - 1) * ge;
+        AT(Xv, 0, x) = go + (x - 1) * ge;
+      }
+      for (int32_t y = 1; y <= L2; ++y) {
+        AT(Wv, y, 0) = go + (y - 1) * ge;
+        AT(Yv, y, 0) = go + (y - 1) * ge;
+      }
+      for (int32_t y = 1; y <= L2; ++y) {
+        const int32_t* srow = scoring + (int64_t)b[y - 1] * table_n;
+        for (int32_t x = 1; x <= L1; ++x) {
+          int32_t nx = AT(Xv, y, x - 1) + ge;
+          int32_t wx = AT(Wv, y, x - 1) + go;
+          if (wx > nx) nx = wx;
+          int32_t ny = AT(Yv, y - 1, x) + ge;
+          int32_t wy = AT(Wv, y - 1, x) + go;
+          if (wy > ny) ny = wy;
+          int32_t m = AT(Wv, y - 1, x - 1) + srow[a[x - 1]];
+          if (nx > m) m = nx;
+          if (ny > m) m = ny;
+          AT(Xv, y, x) = nx;
+          AT(Yv, y, x) = ny;
+          AT(Wv, y, x) = m;
+        }
+      }
+      // backtrack (DistanceFactoryAlign.h:93-123)
+      int64_t* cnt = counts + (int64_t)p * dim * dim;
+      memset(cnt, 0, sizeof(int64_t) * dim * dim);
+      int32_t g = 0;
+      bool go1 = false, go2 = false;
+      int32_t y = L2, x = L1;
+      while (y != 0 && x != 0) {
+        int32_t c1 = a[x - 1], c2 = b[y - 1];
+        if (AT(Wv, y, x) ==
+            AT(Wv, y - 1, x - 1) + scoring[(int64_t)c2 * table_n + c1]) {
+          if (c1 < dim && c2 < dim) cnt[(int64_t)c1 * dim + c2] += 1;
+          go1 = go2 = false;
+          --x;
+          --y;
+        } else if (AT(Wv, y, x) == AT(Xv, y, x)) {
+          if (!go1) ++g;
+          go1 = true;
+          go2 = false;
+          --x;
+        } else {
+          if (!go2) ++g;
+          go1 = false;
+          go2 = true;
+          --y;
+        }
+      }
+      gaps[p] = g;
+#undef AT
+    }
+  };
+
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int32_t t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+    for (auto& t : ts) t.join();
+  }
+}
+
+}  // extern "C"
