@@ -207,7 +207,10 @@ def do_align(seqs: Dict[str, str], options: Options):
                                            factory, options, cache)
 
     if options.repeats_flag:
-        print("TR indels: %d" % result.n_tr_indels, file=sys.stderr)
+        # with -T the reference prints the default-constructed count
+        # (main.cpp:445-447: result is never assigned)
+        n_tr = result.n_tr_indels if result is not None else 0
+        print("TR indels: %d" % n_tr, file=sys.stderr)
 
     if options.profile_file and result is not None:
         from .io.profile_out import write_profile

@@ -76,6 +76,22 @@ CASES = [
     ("t_fam6_io.fasta", ["--fasta", "-I", "-t", G + "/tree0_fam6.nwk",
                          FIX + "/fam6.fasta"]),
     ("c1_fam6_at.sto", ["--all_trees", FIX + "/fam6.fasta"]),
+    # Free-tree repeats cases: goldens produced by a FROM-SOURCE build of
+    # the reference (tools/build_reference.sh), not the prebuilt binary.
+    # On this input the 2013 prebuilt binary disagrees with its own source
+    # (ULP-level arithmetic differences get amplified through BioNJ's
+    # iterative matrix reduction into a different mid-tree branch-length
+    # split); we are bit-identical to the source build.  All fixed-tree
+    # rep8 cases above match the prebuilt binary byte-for-byte.
+    ("c5_rep8_src.fasta", ["--fasta", "--read_repeats", FIX + "/rep8.trd",
+                           "-R", FIX + "/rep8.fasta"]),
+    ("c5_rep8_ra_src.fasta", ["--fasta", "--read_repeats", FIX + "/rep8.trd",
+                              "-R", "--repalign", FIX + "/rep8.fasta"]),
+    # -T with repeats: result is never constructed; the reference prints
+    # the default "TR indels: 0" (main.cpp:445-447) — crashed before.
+    ("tree0_rep8_free_src.nwk", ["-T", "-i", "0", "--read_repeats",
+                                 FIX + "/rep8.trd", "-R",
+                                 FIX + "/rep8.fasta"]),
 ]
 
 
