@@ -179,6 +179,14 @@ def align_progressive_results(r1, r2, distance1, distance2, support1,
         prelim_ancestral_seq(result, anc.is_matched, model, spec)
 
     result.graph.add_repeats(result.tr_homologies)
+
+    if options.repeats_flag:
+        # ProgressiveAlignment.h:470-473: per-node TR-indel count of THIS
+        # alignment (not the accumulated subtree total) to stderr.
+        import sys
+        print("TR indels at %s: %d"
+              % (create_ancestral_seq_name(result.aligned_sequences),
+                 aln.n_tr_indels), file=sys.stderr)
     return result
 
 

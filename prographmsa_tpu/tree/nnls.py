@@ -41,9 +41,12 @@ def nnls(Z: np.ndarray, x: np.ndarray) -> np.ndarray:
         iw = int(np.argmax(w))
         P[iw] = True
 
-        n_iter += 1
+        # Reference NNLS.h:36 `if(n_iter++ > MAX_ITER)` tests the
+        # PRE-increment value, so it allows one more activation than a
+        # naive post-increment check (bails on the 102nd, not the 101st).
         if n_iter > MAX_ITER:
             return d
+        n_iter += 1
 
         while True:
             mapping = np.flatnonzero(P)

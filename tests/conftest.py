@@ -22,3 +22,8 @@ if not os.environ.get("PROGRAPHMSA_TEST_TPU"):
     # no backend has been instantiated yet at conftest time).
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end differential test")

@@ -13,13 +13,14 @@ FIX = os.path.join(REPO, "fixtures")
 G = os.path.join(FIX, "golden")
 
 
-def run_cli(args, out_path):
-    cmd = [sys.executable, "-m", "prographmsa_tpu.cli"] + args + ["-o", out_path]
+def run_cli(args, out_path, module="prographmsa_tpu.cli"):
+    cmd = [sys.executable, "-m", module] + args + ["-o", out_path]
     env = dict(os.environ, PYTHONWARNINGS="ignore", JAX_PLATFORMS="cpu")
     # the axon sitecustomize would re-pin the TPU backend in the subprocess
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    subprocess.run(cmd, cwd=REPO, check=True, env=env,
-                   capture_output=True, timeout=900)
+    proc = subprocess.run(cmd, cwd=REPO, check=True, env=env,
+                          capture_output=True, timeout=900)
+    return proc.stderr.decode()
 
 
 def _strip_header(text):
@@ -110,12 +111,59 @@ def test_profile_out(tmp_path):
 @pytest.mark.parametrize("golden,args", CASES, ids=[c[0] for c in CASES])
 def test_differential(golden, args, tmp_path):
     out = str(tmp_path / "out")
-    run_cli(args, out)
+    stderr = run_cli(args, out)
     with open(out) as f:
         mine = f.read()
     with open(os.path.join(G, golden)) as f:
         expected = f.read()
     assert _strip_header(mine) == _strip_header(expected)
+    # stderr parity: the reference prints TR-indel counts, repeat counts and
+    # gap-parsimony scores to stderr (FindRoot.h:322, main.cpp:447-449);
+    # compare against the captured golden stderr when one exists.
+    stderr_golden = os.path.join(G, os.path.splitext(golden)[0] + ".stderr")
+    if os.path.exists(stderr_golden):
+        with open(stderr_golden) as f:
+            assert stderr == f.read()
+
+
+DIST_CASES = [
+    # (golden TSV, dist_cli args) — dist.cpp:103-116 differential harness
+    ("dist_fam6.tsv", [FIX + "/fam6.fasta"]),
+    ("dist_fam6_F.tsv", ["-F", FIX + "/fam6.fasta"]),
+    ("dist_fam20_w.tsv", ["-w", FIX + "/fam20.fasta"]),
+]
+
+
+def test_detect_repeats_custom_cmd(tmp_path):
+    """Exercise the detect_repeats popen path (RepeatDetectionTReks.cpp:
+    159-197) without Java: a mocked --custom_tr_cmd that cats the saved
+    T-Reks output.  Covers the temp-FASTA write, the shell spawn, the
+    --trd_output tee, and the parser cross-checks."""
+    out = str(tmp_path / "out")
+    trd = str(tmp_path / "tee.trd")
+    run_cli(["--fasta", "-R", "--custom_tr_cmd",
+             "cat " + FIX + "/rep8.trd #",
+             "--trd_output", trd,
+             "-t", G + "/tree0_rep8.nwk", FIX + "/rep8.fasta"], out)
+    with open(out) as f:
+        mine = f.read()
+    with open(os.path.join(G, "c5_rep8_t.fasta")) as f:
+        expected = f.read()
+    assert mine == expected
+    with open(trd) as f_t, open(FIX + "/rep8.trd") as f_r:
+        assert f_t.read() == f_r.read()
+
+
+@pytest.mark.parametrize("golden,args", DIST_CASES,
+                         ids=[c[0] for c in DIST_CASES])
+def test_dist_tool(golden, args, tmp_path):
+    out = str(tmp_path / "out.tsv")
+    run_cli(args, out, module="prographmsa_tpu.dist_cli")
+    with open(out) as f:
+        mine = f.read()
+    with open(os.path.join(G, golden)) as f:
+        expected = f.read()
+    assert mine == expected
 
 
 @pytest.mark.slow
