@@ -183,7 +183,9 @@ def precompute_scores(g1, g2, model, scores) -> np.ndarray:
     v1 = _eigen_dot_f32(g1s, pi)               # g1ᵀ·pi
     v2 = _eigen_dot_f32(g2s, pi)               # piᵀ·g2
     den = (v1[:, None] * v2[None, :]).astype(np.float32)
-    S = (num / den).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # sentinel columns are all-zero -> 0/0, resolved by ls_log below
+        S = (num / den).astype(np.float32)
 
     # apply ls_log in Eigen's column-major storage order
     S_cm = np.asfortranarray(S)

@@ -17,12 +17,14 @@ All tables are generated from first principles (canonical residue orders and
 the standard genetic code) rather than transcribed, and are validated against
 the reference binary by the differential test-suite.
 
-Parity note (reproduced intentionally): the reference's ``DNA::value()``
-(Alphabet.cpp:204-206) indexes the *amino-acid* translation table, so for DNA
-only 'A' (->0) and 'C' (->1) land inside DIM=4 while 'G' (->5) and 'T' (->16)
-are treated as unknown residues (uniform profile columns, skipped k-mers).
-``DNA_VALUE_TABLE`` mirrors this so that our DNA-mode output is identical to
-the reference binary's.
+DNA note (deliberate divergence): the reference's ``DNA::value()``
+(Alphabet.cpp:204-206) indexes the *amino-acid* translation table — an
+out-of-bounds bug that makes ``--dna`` segfault the reference binary
+(verified: exit 139 on fixtures/dna12.fasta), so no oracle exists for DNA
+mode.  The intended table is plainly ``dna_translation_table``
+(Alphabet.cpp:22-36, used correctly by the codon packer): T/U->0, C->1,
+A->2, G->3, X->4 (unknown), everything else invalid.  ``DNA_VALUE_TABLE``
+implements that intent, making ``--dna`` actually work here.
 """
 
 from __future__ import annotations
@@ -55,8 +57,9 @@ def _aa_char_map() -> dict:
 # value() tables: char byte -> residue value
 AA_VALUE_TABLE = _make_char_table(_aa_char_map())
 DNA_CHAR_TABLE = _make_char_table({"T": 0, "U": 0, "C": 1, "A": 2, "G": 3, "X": 4})
-# Reference DNA::value() uses the AA table (see parity note above).
-DNA_VALUE_TABLE = AA_VALUE_TABLE
+# The reference's intended DNA table (see DNA note above); NOT the buggy
+# DNA::value() AA-table indexing, which crashes the reference binary.
+DNA_VALUE_TABLE = DNA_CHAR_TABLE
 
 # --- codon tables (generated from the standard genetic code) ---
 _STOPS = {"TAA", "TAG", "TGA"}

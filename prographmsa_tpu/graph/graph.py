@@ -110,7 +110,8 @@ class Graph:
         for p, c in self.preds[node]:
             yield p, np.float32(c), False, 0
         for p, u in self.reps[node]:
-            yield p, np.float32(repeat_init + repeat_ext * (u - 1)), True, u
+            with np.errstate(invalid="ignore"):   # inf*0 when u == 1
+                yield p, np.float32(repeat_init + repeat_ext * (u - 1)), True, u
 
     def add_repeats(self, tr_homologies: List[np.ndarray]) -> None:
         """Rebuild repeat edges from TR homology tracks

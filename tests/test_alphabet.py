@@ -32,14 +32,15 @@ def test_gap_rejected():
         al.AA_SPEC.encode("AC_D")
 
 
-def test_dna_value_parity_quirk():
-    # DNA::value() uses the AA table (Alphabet.cpp:204-206): only A and C
-    # fall inside DIM=4.
-    seq = al.DNA_SPEC.encode("ACGT")
+def test_dna_value_table():
+    # The reference's DNA::value() (Alphabet.cpp:204-206) indexes the AA
+    # table — an OOB bug that segfaults its binary in --dna mode.  We use
+    # the intended dna_translation_table (Alphabet.cpp:22-36): T/U=0, C=1,
+    # A=2, G=3, X=4 unknown.
+    seq = al.DNA_SPEC.encode("TCAGUXN")
     vals = al.DNA_SPEC.values(seq)
-    assert vals[0] == 0 and vals[1] == 1
-    assert vals[2] >= 4 and vals[3] >= 4
-    assert list(al.DNA_SPEC.is_valid(seq)) == [True, True, False, False]
+    assert list(vals) == [0, 1, 2, 3, 0, 4, al.INVALID]
+    assert list(al.DNA_SPEC.is_valid(seq)) == [True] * 5 + [False, False]
 
 
 def test_codon_pack():
