@@ -30,6 +30,7 @@ implements that intent, making ``--dna`` actually work here.
 from __future__ import annotations
 
 import numpy as np
+from .errors import ParityError
 
 GAP_CHAR = "-"
 GAP = -2          # our canonical "gap" value-code (reference: isGap())
@@ -159,7 +160,7 @@ class CharAlphabet(AlphabetSpec):
         for c in "_. ":
             raw[raw == ord(c)] = ord(GAP_CHAR)
         if np.any(raw == ord(GAP_CHAR)):
-            raise ValueError("No support for gapped sequences (yet)")
+            raise ParityError("No support for gapped sequences (yet)")
         return raw
 
     def decode(self, seq: np.ndarray) -> str:
@@ -199,7 +200,7 @@ class CodonAlphabet(AlphabetSpec):
         for i in range(0, n - 2, 3):
             c = self._pack(s[i], s[i + 1], s[i + 2])
             if c == CODON_GAP:
-                raise ValueError("No support for gapped sequences (yet)")
+                raise ParityError("No support for gapped sequences (yet)")
             codes.append(c)
         if n % 3 != 0:
             codes.append(INVALID)

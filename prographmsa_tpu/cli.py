@@ -11,6 +11,7 @@ import numpy as np
 
 from .config import Options
 from . import alphabet as al
+from .errors import ParityError
 from .io.fasta import FastaError, read_fasta, write_fasta
 from .io.newick import parse_newick
 from .io.stockholm import write_stockholm
@@ -69,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-i", "--iterations", type=int, default=None)
     a("--all_trees", action="store_true")
     a("--ancestral_seqs", action="store_true")
+    # extension (not a reference flag): per-phase wall-clock report to stderr
+    a("--timings", action="store_true", dest="timings")
     # extension (not a reference flag): kernel engine selection
     a("--engine", choices=("auto", "native", "numpy", "device"),
       default="auto", help="DP kernel engine (all are bit-identical): "
@@ -106,6 +109,7 @@ def options_from_args(args) -> Options:
         max_dist=args.max_dist, min_dist=args.min_dist,
         max_pdist=args.max_pdist, min_pdist=args.min_pdist,
         engine=args.engine,
+        timings_flag=args.timings,
     )
     # codon default rescaling (main.cpp:225-241): only when flags unset
     defaults = dict(indel_set="--indel_rate" in sys.argv or "-g" in sys.argv,
@@ -247,9 +251,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     options = options_from_args(args)
 
+    if options.timings_flag:
+        from . import timings
+        timings.enable(True)
+
     try:
         seqs, input_order = read_fasta(options.sequence_file)
         aligned, all_trees = do_align(seqs, options)
+        if options.timings_flag:
+            from . import timings
+            timings.report(sys.stderr)
 
         out = open(options.output_file, "w") if options.output_file else sys.stdout
         try:
@@ -272,7 +283,7 @@ def main(argv=None) -> int:
         finally:
             if options.output_file:
                 out.close()
-    except (FastaError, ValueError) as e:
+    except (FastaError, ParityError) as e:
         # these map to the reference's error() -> "error: msg" + abort()
         # (debug.cpp:44-52); abort exits via SIGABRT = status 134
         print("error: %s" % e, file=sys.stderr)

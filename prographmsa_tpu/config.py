@@ -69,6 +69,8 @@ class Options:
     # All engines produce bit-identical output (tests/test_native.py,
     # tests/test_dp_device.py).
     engine: str = "auto"
+    # --timings: per-phase wall-clock report to stderr (extension)
+    timings_flag: bool = False
 
     def with_codon_rescaling(
         self,

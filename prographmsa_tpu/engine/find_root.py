@@ -27,6 +27,7 @@ import sys
 from typing import Dict, List
 
 import numpy as np
+from ..errors import ParityError
 
 from .gap_parsimony import score_alignment
 from .progressive import (ProgressiveAlignmentResult,
@@ -92,7 +93,7 @@ def _leaf_result(spec, name, tree_bl, sequences, repeats, csprofile,
     csprofile — see module docstring)."""
     del tree_bl, csprofile
     if name not in sequences:
-        raise ValueError("unknown sequence name: %s" % name)
+        raise ParityError("unknown sequence name: %s" % name)
     seq = sequences[name]
     res = ProgressiveAlignmentResult()
     res.is_csprofile = False
@@ -180,7 +181,7 @@ def progressive_alignment_find_root(spec, sequences, tree, repeats,
             _tree2graph(spec, ni, tree[i], nodes, edges, sequences, repeats,
                         csprofile, factory, options)
     else:
-        raise ValueError("multifurcations not allowed")
+        raise ParityError("multifurcations not allowed")
 
     gap_code = spec.gap_code
     best_result = edges[0].get_alignment(factory, options, spec)

@@ -11,7 +11,9 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import numpy as np
+from ..errors import ParityError
 
+from .. import timings
 from ..graph.graph import Graph, sequence_graph, clean_graph, unclean_mapping
 from ..align.scores import DynProgScores, precompute_scores
 from ..align.dp import fill_dp
@@ -37,26 +39,29 @@ def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
     fill -> backtrack.  Engine selection (options.engine): the native C++
     kernels, the per-node device kernel, or the numpy reference path — all
     bit-identical (tests/test_native.py, tests/test_dp_device.py)."""
-    scores = DynProgScores(g1, g2, model, options)
-    S = precompute_scores(g1, g2, model, scores)
+    with timings.phase("scores"):
+        scores = DynProgScores(g1, g2, model, options)
+        S = precompute_scores(g1, g2, model, scores)
     engine = options.engine
 
-    dp = None
-    if engine in ("auto", "native"):
-        from .. import native
-        dp = native.fill_dp_native(g1, g2, S, scores)
-    if dp is None and engine == "device":
-        from ..align.dp_jax import fill_dp_device
-        dp = fill_dp_device(g1, g2, S, scores)
-    if dp is None:
-        dp = fill_dp(g1, g2, S, scores)
+    with timings.phase("dp_fill"):
+        dp = None
+        if engine in ("auto", "native"):
+            from .. import native
+            dp = native.fill_dp_native(g1, g2, S, scores)
+        if dp is None and engine == "device":
+            from ..align.dp_jax import fill_dp_device
+            dp = fill_dp_device(g1, g2, S, scores)
+        if dp is None:
+            dp = fill_dp(g1, g2, S, scores)
 
-    aln = None
-    if engine in ("auto", "native"):
-        from .. import native
-        aln = native.backtrack_native(g1, g2, dp, scores)
-    if aln is None:
-        aln = backtrack(g1, g2, dp, scores)
+    with timings.phase("backtrack"):
+        aln = None
+        if engine in ("auto", "native"):
+            from .. import native
+            aln = native.backtrack_native(g1, g2, dp, scores)
+        if aln is None:
+            aln = backtrack(g1, g2, dp, scores)
     return aln, scores
 
 
@@ -146,8 +151,9 @@ def align_progressive_results(r1, r2, distance1, distance2, support1,
     model1 = factory.get_model(distance1, options, gap_distance1)
     model2 = factory.get_model(distance2, options, gap_distance2)
 
-    cg1, outmap1 = clean_graph(r1.graph, options)
-    cg2, outmap2 = clean_graph(r2.graph, options)
+    with timings.phase("clean"):
+        cg1, outmap1 = clean_graph(r1.graph, options)
+        cg2, outmap2 = clean_graph(r2.graph, options)
 
     aln, _scores = align_graphs(cg1, cg2, model, options)
     result.score = float(aln.score)
@@ -159,8 +165,9 @@ def align_progressive_results(r1, r2, distance1, distance2, support1,
     mapping1 = unclean_mapping(aln.mapping1, outmap1)
     mapping2 = unclean_mapping(aln.mapping2, outmap2)
 
-    anc = merge_graphs(r1.graph, r2.graph, mapping1, mapping2, model1, model2,
-                       support1, support2, options)
+    with timings.phase("merge"):
+        anc = merge_graphs(r1.graph, r2.graph, mapping1, mapping2,
+                           model1, model2, support1, support2, options)
     result.graph = anc.graph
 
     gap_code = spec.gap_code
@@ -201,7 +208,7 @@ def progressive_alignment(spec, sequences, tree: PhyTree, repeats, csprofile,
     if tree.is_leaf():
         name = tree.name
         if name not in sequences:
-            raise ValueError("unknown sequence name: %s" % name)
+            raise ParityError("unknown sequence name: %s" % name)
         seq = sequences[name]
         if csprofile is not None and spec.name == "aa":
             from ..cs_profile import cs_sequence_graph
@@ -225,7 +232,7 @@ def progressive_alignment(spec, sequences, tree: PhyTree, repeats, csprofile,
             result.graph.add_repeats(result.tr_homologies)
     else:
         if tree.n_children() != 2:
-            raise ValueError("only bifurcating trees allowed")
+            raise ParityError("only bifurcating trees allowed")
         r1 = progressive_alignment(spec, sequences, tree[0], repeats,
                                    csprofile, factory, options,
                                    alignment_cache)

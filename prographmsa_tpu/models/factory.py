@@ -8,7 +8,7 @@ ModelFactoryPlusF.h) in numpy:
 * ``P(d) = V · diag(exp(sigma·d)) · Vi`` with (V, sigma, Vi) from one host
   eigendecomposition of the normalized rate matrix Q — the TPU-friendly expm:
   the eigendecomposition happens once per Q, after which P for a whole batch
-  of branch lengths is a single einsum (see ``batched_P``).
+  of branch lengths is a single einsum (see distances/ml.py::_batched_P).
 * Empirical matrices (WAG / GONNET-Darwin / ECM) are loaded from extracted
   .npz data files (tools/extract_matrices.py).
 """
@@ -20,6 +20,7 @@ import os
 from dataclasses import dataclass, field
 
 import numpy as np
+from ..errors import ParityError
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
@@ -141,7 +142,7 @@ class EmpiricalModelFactory(ModelFactory):
         # is built with NDEBUG and the ECM data actually measures ~2e-7 —
         # so, like the binary, we do not abort.
         if abs(sigma2[izero]) >= 1e-6:
-            raise ValueError("Invalid Q-Matrix")
+            raise ParityError("Invalid Q-Matrix")
         freqs = V2[:, izero] / V2[:, izero].sum()
         Q = _normalize_rate(raw, freqs)
         super().__init__(Q, freqs)
@@ -179,7 +180,7 @@ class CustomModelFactory(ModelFactory):
         vals = [float(x) for x in text.split()]
         need = dim * (dim - 1) // 2 + dim
         if len(vals) < need:
-            raise ValueError("error reading exchangeability matrix from file")
+            raise ParityError("error reading exchangeability matrix from file")
         Q = np.zeros((dim, dim))
         k = 0
         for i in range(1, dim):
@@ -187,12 +188,12 @@ class CustomModelFactory(ModelFactory):
                 v = vals[k]
                 k += 1
                 if not (v > 0 and v < math.inf):
-                    raise ValueError(
+                    raise ParityError(
                         "negative/infinity/zero value in exchangeability matrix")
                 Q[j, i] = Q[i, j] = v
         freqs = np.array(vals[k:k + dim])
         if not np.all((freqs > 0) & (freqs < math.inf)):
-            raise ValueError("negative/infinity/zero value in frequencies")
+            raise ParityError("negative/infinity/zero value in frequencies")
         freqs = freqs / freqs.sum()
         Q = _normalize_rate(Q, freqs)
         super().__init__(Q, freqs)
@@ -245,7 +246,7 @@ def get_default_model_factory(options, spec, seqs_values=None) -> ModelFactory:
     elif spec.name == "aa":
         factory = DarwinModelFactory() if options.darwin_flag else WagModelFactory()
     elif spec.name == "dna":
-        raise ValueError("custom model file necessary for DNA alignments")
+        raise ParityError("custom model file necessary for DNA alignments")
     else:  # codon
         factory = EcmModelFactory()
 

@@ -15,7 +15,6 @@ edge costs are 0 for chain edges).  Boundary rows use start_gap/start_init
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 
@@ -91,8 +90,3 @@ def chain_dp_batch(S, params):
     em, eg = params["end_match"], params["end_gap"]
     return jnp.fmax(m + em, jnp.fmax(x + eg, y + eg))
 
-
-@functools.lru_cache(maxsize=16)
-def jit_chain_dp(n1: int, n2: int):
-    import jax
-    return jax.jit(chain_dp_batch)

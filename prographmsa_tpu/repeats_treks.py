@@ -15,6 +15,7 @@ Re-derivation of /root/reference/src/RepeatDetectionTReks.{h,cpp}:
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import tempfile
@@ -125,7 +126,10 @@ def detect_repeats(seqs2: Dict[str, np.ndarray], spec, options):
     if options.customtr_cmd:
         cmd = '%s "%s"' % (options.customtr_cmd, fname)
     else:
-        cmd = 'java -jar T-Reks.jar -infile="%s"' % fname
+        # the reference compiles the jar path in via CMake
+        # (external_programs.cpp.in:1-2); here it is env-configurable
+        jar = os.environ.get("PROGRAPHMSA_TREKS_JAR", "T-Reks.jar")
+        cmd = 'java -jar %s -infile="%s"' % (jar, fname)
     proc = subprocess.run(cmd, shell=True, capture_output=True, text=True)
     text = proc.stdout
     if options.trdout_file:

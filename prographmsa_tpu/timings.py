@@ -1,0 +1,49 @@
+"""Per-phase wall-clock accounting (``--timings``).
+
+The reference has no profiling of any kind (SURVEY §5); this is the
+framework's observability layer: each pipeline phase (distances, NJ, WLS,
+score precompute, DP fill, backtrack, merge) accumulates wall time into a
+process-global table that the CLI dumps to stderr on request.  Zero overhead
+when disabled (the context manager short-circuits).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+_acc: dict = {}
+_calls: dict = {}
+_enabled = False
+
+
+def enable(flag: bool = True) -> None:
+    global _enabled
+    _enabled = flag
+    _acc.clear()
+    _calls.clear()
+
+
+@contextmanager
+def phase(name: str):
+    if not _enabled:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _acc[name] = _acc.get(name, 0.0) + (time.perf_counter() - t0)
+        _calls[name] = _calls.get(name, 0) + 1
+
+
+def report(stream) -> None:
+    if not _acc:
+        return
+    total = sum(_acc.values())
+    print("timings (wall seconds, accounted phases only):", file=stream)
+    for name, t in sorted(_acc.items(), key=lambda kv: -kv[1]):
+        print("  %-12s %8.4f s  (%6.1f%%, %d calls)"
+              % (name, t, 100.0 * t / total if total else 0.0, _calls[name]),
+              file=stream)
+    print("  %-12s %8.4f s" % ("total", total), file=stream)

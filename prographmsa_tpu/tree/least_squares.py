@@ -21,6 +21,7 @@ import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+from ..errors import ParityError
 
 from .nnls import nnls
 from .phytree import PhyTree
@@ -93,7 +94,7 @@ class Graph:
             try:
                 node.leaf = self.labels.index(tree.name)
             except ValueError:
-                raise ValueError("unknown leaf name: %s" % tree.name)
+                raise ParityError("unknown leaf name: %s" % tree.name)
         else:
             node.edges[0] = edge
             e1 = self._new_edge()

@@ -5,7 +5,7 @@ Eigen's column-major first-minimum tie-breaking in the Q-matrix argmin, the
 variance-weighted lambda, the reduction bookkeeping (deleted index2, new node
 at index1), and the 2-/3-leaf terminations.  The O(N²) per-step Q-matrix
 computation is vectorized; at N in the hundreds this is host-trivial, and the
-device path is only worth it for very large N (see tree/nj_jax.py).
+device path is only worth it for very large N.
 """
 
 from __future__ import annotations
@@ -14,6 +14,7 @@ import math
 from typing import List, Optional
 
 import numpy as np
+from ..errors import ParityError
 
 from .phytree import PhyTree
 from ..eigen_compat import eigen_colwise_sum, eigen_seq_sum
@@ -63,7 +64,7 @@ def build_topo_plan(seqs_order: List[str], topo: PhyTree) -> List[tuple]:
     init(topo)
     for i, ok in enumerate(seq_in_tree):
         if not ok:
-            raise ValueError('sequence "%s" is missing in given topology'
+            raise ParityError('sequence "%s" is missing in given topology'
                              % seqs_order[i])
 
     plan = []

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 from typing import List, Optional
+from ..errors import ParityError
 
 
 def _fmt(x: float) -> str:
@@ -124,7 +125,7 @@ class PhyTree:
 def _max_dist_pair_r(root: PhyTree, state: dict):
     if not root.is_leaf():
         if root.n_children() != 2:
-            raise ValueError("multifurcations not supported")
+            raise ParityError("multifurcations not supported")
         d1, l1 = _max_dist_pair_r(root[0], state)
         d2, l2 = _max_dist_pair_r(root[1], state)
         d1 = [d + root[0].branch_length for d in d1]

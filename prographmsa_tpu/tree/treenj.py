@@ -11,6 +11,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from .. import timings
 from .nj import build_nj_tree
 from .phytree import PhyTree, midpoint_root
 from ..distances.angle import compute_angle_distances
@@ -33,17 +34,20 @@ def tree_nj(spec, seqs: Dict[str, np.ndarray], prealigned: bool, factory,
         raise ValueError("cannot construct tree from < 2 sequences")
 
     order = sorted(seqs.keys())  # std::map iteration order
-    distances, variances = compute_distances(spec, seqs, order, factory,
-                                             options, prealigned)
-    distances = np.array(distances)
-    variances = np.array(variances)
-    np.fill_diagonal(distances, 0.0)
-    np.fill_diagonal(variances, 0.0)
+    with timings.phase("distances"):
+        distances, variances = compute_distances(spec, seqs, order, factory,
+                                                 options, prealigned)
+        distances = np.array(distances)
+        variances = np.array(variances)
+        np.fill_diagonal(distances, 0.0)
+        np.fill_diagonal(variances, 0.0)
 
-    tree = build_nj_tree(order, distances, variances, options, topo)
+    with timings.phase("nj"):
+        tree = build_nj_tree(order, distances, variances, options, topo)
 
     if options.wlsrefine_flag:
         from .least_squares import refine_tree
-        tree = refine_tree(tree, order, distances, variances, options)
+        with timings.phase("wls"):
+            tree = refine_tree(tree, order, distances, variances, options)
 
     return midpoint_root(tree)

@@ -52,6 +52,12 @@ CASES = [
     ("c4_darwin.fasta", ["--fasta", "-w", "--mldist", FIX + "/fam20.fasta"]),
     ("c2_fam20.fasta", ["--fasta", "--mldist", "--nwdist",
                         FIX + "/fam20.fasta"]),
+    # DNA mode: the reference binary itself segfaults on --dna
+    # (Alphabet.cpp:204-206 reads out of bounds); golden produced by this
+    # framework once the midpoint-root degenerate-distance fix landed, and
+    # frozen as the defined-correct behavior (VERDICT round 1, item 5).
+    ("c3_dna.fasta", ["--fasta", "--dna", "--custom_model",
+                      FIX + "/dna.qmat", FIX + "/dna12.fasta"]),
     ("c3_codon.fasta", ["--fasta", "--codon", FIX + "/orf10.fasta"]),
     ("c3_codon_i0.fasta", ["--fasta", "--codon", "-i", "0",
                            FIX + "/orf10.fasta"]),
