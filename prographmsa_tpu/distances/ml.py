@@ -117,36 +117,61 @@ def compute_ml_dist_batch(c: np.ndarray, gaps: np.ndarray, seqlens: np.ndarray,
     dist_max = np.full(B, np.inf)
     active = mask.copy()
     Q = factory.Q
+    D = c.shape[1]
+    # preallocated work buffers, sliced to the active-lane count each
+    # iteration; all elementwise ops run in-place (out=) — the same float64
+    # operation per element as the temporary-allocating expression, just
+    # without the allocator traffic (this loop is memory-bound).
+    buf_c = np.empty_like(c)
+    buf_p = np.empty((B, D, D))
+    buf_pp = np.empty((B, D, D))
+    buf_ppp = np.empty((B, D, D))
+    buf_t = np.empty((B, D, D))
+    buf_u = np.empty((B, D, D))
 
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         for _ in range(MAXITER + 1):
             if not active.any():
                 break
-            # Compact to the active lanes: boolean indexing keeps each
+            # Compact to the active lanes: index-gather keeps each
             # [DIM, DIM] slice contiguous, so every per-lane operation
             # (slice-wise dgemm, elementwise, per-slice pairwise sum) is the
             # operation the full-batch — and hence the scalar loop — performs.
             a = np.flatnonzero(active)
-            da, ca = dist[a], c[a]
+            A = len(a)
+            da = dist[a]
+            ca = np.take(c, a, axis=0, out=buf_c[:A])
             # parse_distance clamp for the model only (ModelFactory.h:104-127);
             # the Newton iterate itself stays unclamped (parity quirk, see
             # module docstring).
             dd = np.maximum(0.0, da)
             dd = np.where(np.isnan(dd), 5.2, dd)
             dd = np.maximum(np.minimum(dd, options.max_dist), options.min_dist)
-            p = _batched_P(factory, dd)                          # [A, D, D]
-            pp = np.matmul(Q, p)
-            ppp = np.matmul(Q, pp)
+            e = np.exp(factory.sigma[None, :] * dd[:, None])     # [A, D]
+            np.multiply(factory.V[None, :, :], e[:, None, :], out=buf_t[:A])
+            p = np.matmul(buf_t[:A], factory.Vi, out=buf_p[:A])  # _batched_P
+            pp = np.matmul(Q, p, out=buf_pp[:A])
+            ppp = np.matmul(Q, pp, out=buf_ppp[:A])
+
+            # f   = (ca * pp / p).sum(axis=(1, 2))  [+ gap term]
+            t = np.multiply(ca, pp, out=buf_t[:A])
+            np.divide(t, p, out=t)
+            f = t.reshape(A, D * D).sum(axis=1)
+            # ff  = ((ca * (ppp*p - pp*pp)) / (p*p)).sum(axis=(1, 2))
+            t = np.multiply(ppp, p, out=buf_t[:A])
+            u = np.multiply(pp, pp, out=buf_u[:A])
+            np.subtract(t, u, out=t)
+            np.multiply(ca, t, out=t)
+            np.multiply(p, p, out=u)
+            np.divide(t, u, out=t)
+            ff = t.reshape(A, D * D).sum(axis=1)
 
             if options.mldist_gap_flag:
                 grate = options.indel_rate * seqlens[a] * da
                 g = (-grate + gaps[a]) / da
                 gg = -gaps[a] / (da * da)
-                f = (ca * pp / p).sum(axis=(1, 2)) + g
-                ff = ((ca * (ppp * p - pp * pp)) / (p * p)).sum(axis=(1, 2)) + gg
-            else:
-                f = (ca * pp / p).sum(axis=(1, 2))
-                ff = ((ca * (ppp * p - pp * pp)) / (p * p)).sum(axis=(1, 2))
+                f = f + g
+                ff = ff + gg
 
             var[a] = -1.0 / ff
 
