@@ -71,9 +71,14 @@ def LOG(x: float) -> float:
     return math.log(x) / math.log(2.0)
 
 
-def average_alignment_length(graph) -> float:
+def average_alignment_length(graph, engine: str = "auto") -> float:
     """Average free-edge path length from start to each node, evaluated at
     the end node (GraphAlign.h:57-96)."""
+    if engine in ("auto", "native"):
+        from .. import native
+        res = native.average_alignment_length_native(graph)
+        if res is not None:
+            return res
     n = graph.size
     if n == 0:
         return 0.0
@@ -103,8 +108,9 @@ class DynProgScores:
     """GraphAlign.h:99-143."""
 
     def __init__(self, g1, g2, model, options):
-        l1 = average_alignment_length(g1)
-        l2 = average_alignment_length(g2)
+        engine = getattr(options, "engine", "auto")
+        l1 = average_alignment_length(g1, engine)
+        l2 = average_alignment_length(g2, engine)
         eps = model.epsilon
         exp_length = max(l1, l2) * math.exp(
             model.distance * options.indel_rate * (eps / (1.0 - eps) + 1.0))
@@ -158,12 +164,20 @@ def _eigen_dot_f32(A: np.ndarray, y: np.ndarray) -> np.ndarray:
     return res
 
 
-def precompute_scores(g1, g2, model, scores) -> np.ndarray:
+def precompute_scores(g1, g2, model, scores,
+                      engine: str = "auto") -> np.ndarray:
     """Match-score matrix S [n1, n2] float32 (GraphAlign.h:146-163).
 
     Matmuls run in float32 like the reference's Eigen float GEMMs; the
     fast-log runs over the matrix in column-major order (Eigen storage) so
-    the vector/tail split falls on the same elements."""
+    the vector/tail split falls on the same elements.  The native C++
+    kernel (graphcore.cpp gc_precompute_scores) replays the identical op
+    order (tests/test_native.py)."""
+    if engine in ("auto", "native"):
+        from .. import native
+        S = native.precompute_scores_native(g1, g2, model, scores.match_init)
+        if S is not None:
+            return S
     g1s = g1.sites.astype(np.float32)          # [n1, DIM]
     g2s = g2.sites.astype(np.float32)          # [n2, DIM]
     M = model.M.astype(np.float32)

@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     # extension (not a reference flag): per-phase wall-clock report to stderr
     a("--timings", action="store_true", dest="timings")
     # extension (not a reference flag): kernel engine selection
-    a("--engine", choices=("auto", "native", "numpy", "device"),
+    a("--engine", choices=("auto", "native", "numpy", "device", "pallas"),
       default="auto", help="DP kernel engine (all are bit-identical): "
       "auto = native C++ host kernels when available, numpy otherwise; "
       "device = per-node JAX/TPU kernels")

@@ -243,9 +243,29 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
                 counts_b.append(counts)
                 gaps_b.append(gaps)
         else:
-            from .nw_device import nw_counts_device
-            counts_all, gaps_all = nw_counts_device(
-                s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
+            import jax
+            ndev = len(jax.devices())
+            if ndev > 1:
+                # multi-chip: shard the pair batch over the mesh
+                # (pairs are independent; outputs gathered by sharding)
+                from ..parallel.mesh import make_mesh
+                from ..parallel.sharded import sharded_nw_counts
+                Bs = -(-B // ndev) * ndev
+                if Bs != B:
+                    pad = ((0, Bs - B), (0, 0))
+                    s1b = np.pad(s1b, pad)
+                    s2b = np.pad(s2b, pad)
+                    l1 = np.pad(l1, (0, Bs - B))
+                    l2 = np.pad(l2, (0, Bs - B))
+                counts_all, gaps_all, _ = sharded_nw_counts(
+                    make_mesh(ndev), s1b, s2b, l1, l2, scoring, go, ge,
+                    spec.DIM)
+                counts_all = np.asarray(counts_all)
+                gaps_all = np.asarray(gaps_all)
+            else:
+                from .nw_device import nw_counts_device
+                counts_all, gaps_all = nw_counts_device(
+                    s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
             counts_b = counts_all[:len(chunk)]
             gaps_b = gaps_all[:len(chunk)]
 

@@ -39,17 +39,24 @@ def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
     fill -> backtrack.  Engine selection (options.engine): the native C++
     kernels, the per-node device kernel, or the numpy reference path — all
     bit-identical (tests/test_native.py, tests/test_dp_device.py)."""
+    engine = options.engine
     with timings.phase("scores"):
         scores = DynProgScores(g1, g2, model, options)
-        S = precompute_scores(g1, g2, model, scores)
-    engine = options.engine
+        S = precompute_scores(g1, g2, model, scores, engine)
 
     with timings.phase("dp_fill"):
         dp = None
         if engine in ("auto", "native"):
             from .. import native
             dp = native.fill_dp_native(g1, g2, S, scores)
-        if dp is None and engine == "device":
+        if dp is None and engine == "pallas":
+            # explicit opt-in only: parity-tested in interpret mode
+            # (tests/test_dp_pallas.py) but currently FAULTS the v5e TPU
+            # runtime when compiled (Mosaic kernel crash under
+            # investigation); "device" below is the supported chip path
+            from ..align.dp_pallas import fill_dp_pallas
+            dp = fill_dp_pallas(g1, g2, S, scores)
+        if dp is None and engine in ("device", "pallas"):
             from ..align.dp_jax import fill_dp_device
             dp = fill_dp_device(g1, g2, S, scores)
         if dp is None:

@@ -74,6 +74,11 @@ def lib():
         L.gc_nw_batch.restype = None
         L.gc_nw_batch.argtypes = [i32, i32, i32, pi32, pi32, pi32, pi32,
                                   pi32, i32, i32, i32, i32, i32, pi64, pi32]
+        L.gc_precompute_scores.restype = None
+        L.gc_precompute_scores.argtypes = [i32, i32, i32, pf32, pf32, pf32,
+                                           pf32, f32, pf32]
+        L.gc_average_alignment_length.restype = ctypes.c_double
+        L.gc_average_alignment_length.argtypes = [i32, i32, pi32, pf32]
         _lib = L
         return _lib
 
@@ -154,6 +159,42 @@ def backtrack_native(g1, g2, dp, scores):
     return AlignmentResult(score=dp.Wend, n_tr_indels=0,
                            mapping1=list(map1[:n][::-1]),
                            mapping2=list(map2[:n][::-1]))
+
+
+def precompute_scores_native(g1, g2, model, match_init):
+    """Native gc_precompute_scores -> S [n1, n2] float32, bit-identical to
+    align/scores.precompute_scores.  None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    g1s = np.ascontiguousarray(g1.sites, dtype=np.float32)
+    g2s = np.ascontiguousarray(g2.sites, dtype=np.float32)
+    M = np.ascontiguousarray(model.M, dtype=np.float32)
+    pi = np.ascontiguousarray(model.pi, dtype=np.float32)
+    n1, n2 = g1.size, g2.size
+    S = np.empty((n1, n2), dtype=np.float32)
+    L.gc_precompute_scores(n1, n2, M.shape[0], g1s, g2s, M, pi,
+                           np.float32(match_init), S)
+    return S
+
+
+def average_alignment_length_native(graph):
+    """Native gc_average_alignment_length (free normal edges only; repeat
+    edges never count under (inf, inf)).  None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = graph.size
+    if n == 0:
+        return 0.0
+    E = max(1, max((len(p) for p in graph.preds), default=1))
+    idx = np.full((n, E), -1, dtype=np.int32)
+    cost = np.full((n, E), np.inf, dtype=np.float32)
+    for i, plist in enumerate(graph.preds):
+        for k, (p, c) in enumerate(plist):
+            idx[i, k] = p
+            cost[i, k] = c
+    return float(L.gc_average_alignment_length(n, E, idx, cost))
 
 
 def nw_counts_native(s1b, s2b, l1, l2, scoring, go, ge, dim):

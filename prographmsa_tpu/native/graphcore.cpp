@@ -365,4 +365,132 @@ void gc_nw_batch(int32_t n_pairs, int32_t l1max, int32_t l2max,
   }
 }
 
+// ---------------------------------------------------------------------
+// Match-score matrix precompute (align/scores.py precompute_scores;
+// GraphAlign.h:146-163).  Reproduces the Python path bit-for-bit:
+//  * num/t2 accumulate one f32 multiply-add per k step per element, in the
+//    same k order (Eigen gebp rounding emulation);
+//  * v1/v2 use the 4-lane packet accumulator + predux (l0+l2)+(l1+l3) +
+//    scalar tail of _eigen_dot_f32;
+//  * the fast-log runs over S in column-major order with the SSE-body /
+//    scalar-tail split of ls_log_add (ls_log.h:22-59).
+static inline float ls_body(float x, float add) {
+    const float A = 2.44247459618085927548717403238913328776812604856114f;
+    const float B = -4.2040783745848554315883301529007786406310628696383f;
+    const float C = -0.72123729809042963774358701619456664388406302428057f;
+    uint32_t bits;
+    std::memcpy(&bits, &x, 4);
+    int32_t e = (int32_t)(bits >> 23) - 126;
+    uint32_t mant = ((bits << 9) >> 9) ^ 0x3F000000u;
+    float d;
+    std::memcpy(&d, &mant, 4);
+    // SSE body: ((b/(d-c)) + add) + (e + a)
+    return (B / (d - C) + add) + ((float)e + A);
+}
+
+static inline float ls_tail(float x, float add) {
+    const float A = 2.44247459618085927548717403238913328776812604856114f;
+    const float B = -4.2040783745848554315883301529007786406310628696383f;
+    const float C = -0.72123729809042963774358701619456664388406302428057f;
+    uint32_t bits;
+    std::memcpy(&bits, &x, 4);
+    int32_t e = (int32_t)(bits >> 23) - 126;
+    uint32_t mant = ((bits << 9) >> 9) ^ 0x3F000000u;
+    float d;
+    std::memcpy(&d, &mant, 4);
+    // scalar tail: ((a + b/(d-c)) + e) + add
+    return ((A + B / (d - C)) + (float)e) + add;
+}
+
+void gc_precompute_scores(int32_t n1, int32_t n2, int32_t dim,
+                          const float* g1s,   // [n1, dim]
+                          const float* g2s,   // [n2, dim]
+                          const float* M,     // [dim, dim]
+                          const float* pi,    // [dim]
+                          float match_init,
+                          float* S) {         // out [n1, n2]
+    // t2 = (M^T . g2)^T accumulated over b (one f32 madd per step)
+    std::vector<float> t2((size_t)n2 * dim, 0.0f);
+    for (int b = 0; b < dim; ++b)
+        for (int j = 0; j < n2; ++j) {
+            float gb = g2s[(size_t)j * dim + b];
+            float* row = &t2[(size_t)j * dim];
+            const float* Mrow = &M[(size_t)b * dim];
+            for (int d = 0; d < dim; ++d)
+                row[d] = row[d] + gb * Mrow[d];
+        }
+    // num accumulated over d
+    for (size_t m = 0; m < (size_t)n1 * n2; ++m) S[m] = 0.0f;
+    for (int d = 0; d < dim; ++d)
+        for (int i = 0; i < n1; ++i) {
+            float gd = g1s[(size_t)i * dim + d];
+            float* Srow = &S[(size_t)i * n2];
+            for (int j = 0; j < n2; ++j)
+                Srow[j] = Srow[j] + gd * t2[(size_t)j * dim + d];
+        }
+    // v = packet dot(g, pi): 4-lane accumulator + predux + scalar tail
+    auto packet_dot = [&](const float* A, int n, std::vector<float>& v) {
+        int k4 = dim & ~3;
+        for (int i = 0; i < n; ++i) {
+            float acc[4] = {0.0f, 0.0f, 0.0f, 0.0f};
+            const float* row = &A[(size_t)i * dim];
+            for (int k = 0; k < k4; k += 4)
+                for (int l = 0; l < 4; ++l)
+                    acc[l] = acc[l] + row[k + l] * pi[k + l];
+            float res = (acc[0] + acc[2]) + (acc[1] + acc[3]);
+            for (int k = k4; k < dim; ++k)
+                res = res + row[k] * pi[k];
+            v[i] = res;
+        }
+    };
+    std::vector<float> v1(n1), v2(n2);
+    packet_dot(g1s, n1, v1);
+    packet_dot(g2s, n2, v2);
+    for (int i = 0; i < n1; ++i)
+        for (int j = 0; j < n2; ++j)
+            S[(size_t)i * n2 + j] = S[(size_t)i * n2 + j] / (v1[i] * v2[j]);
+    // ls_log over column-major order; 4-aligned body, scalar tail
+    size_t total = (size_t)n1 * n2;
+    size_t alen = total & ~(size_t)3;
+    for (size_t m = 0; m < total; ++m) {
+        size_t j = m / n1, i = m % n1;      // column-major flat index m
+        float* p = &S[(size_t)i * n2 + j];
+        *p = (m < alen) ? ls_body(*p, match_init) : ls_tail(*p, match_init);
+    }
+}
+
+// ---------------------------------------------------------------------
+// Average free-edge path length (align/scores.py average_alignment_length;
+// GraphAlign.h:57-96).  preds given as padded idx/cost arrays WITHOUT
+// repeat edges (their cost is +inf under (inf, inf) so they never count).
+// cache: -1 unvisited, -2 dead end, else average length (double).
+static double gc_avg_rec(int cur, const int32_t* idx, const float* cost,
+                         int E, std::vector<double>& cache) {
+    if (cache[cur] == -1.0) {
+        double total = 0.0;
+        int paths = 0;
+        for (int e = 0; e < E; ++e) {
+            int p = idx[(size_t)cur * E + e];
+            if (p < 0) continue;
+            if (cost[(size_t)cur * E + e] == 0.0f) {
+                double res = gc_avg_rec(p, idx, cost, E, cache);
+                if (res >= 0.0) {
+                    total += res + 1.0;
+                    paths += 1;
+                }
+            }
+        }
+        cache[cur] = paths > 0 ? total / paths : -2.0;
+    }
+    return cache[cur];
+}
+
+double gc_average_alignment_length(int32_t n, int32_t E,
+                                   const int32_t* idx, const float* cost) {
+    if (n == 0) return 0.0;
+    std::vector<double> cache((size_t)n, -1.0);
+    cache[0] = 0.0;
+    return gc_avg_rec(n - 1, idx, cost, E, cache);
+}
+
 }  // extern "C"

@@ -126,3 +126,36 @@ def test_nw_batch_matches_host():
             Y[b, :l2[b] + 1, :l1[b] + 1], codes[i], codes[j], scoring, 20)
         assert np.array_equal(counts[b], c_ref), b
         assert gaps[b] == g_ref, b
+
+
+def test_precompute_scores_native_bitwise():
+    rng = np.random.default_rng(3)
+    model, opts, _ = _model(0.47)
+    for L1, L2 in ((13, 21), (64, 5), (130, 130)):
+        g1 = sequence_graph(AA_SPEC, _rand_seq(rng, L1))
+        g2 = sequence_graph(AA_SPEC, _rand_seq(rng, L2))
+        scores = DynProgScores(g1, g2, model, opts)
+        Sn = precompute_scores(g1, g2, model, scores, "native")
+        Sp = precompute_scores(g1, g2, model, scores, "numpy")
+        eq = ((Sn == Sp) | (np.isnan(Sn) & np.isnan(Sp))
+              | (np.isneginf(Sn) & np.isneginf(Sp))
+              | (np.isposinf(Sn) & np.isposinf(Sp)))
+        assert eq.all(), np.argwhere(~eq)[:5]
+
+
+def test_average_alignment_length_native_on_merged_graph():
+    from prographmsa_tpu.align.scores import average_alignment_length
+    rng = np.random.default_rng(5)
+    model, opts, _ = _model()
+    g1 = sequence_graph(AA_SPEC, _rand_seq(rng, 20))
+    g2 = sequence_graph(AA_SPEC, _rand_seq(rng, 18))
+    scores = DynProgScores(g1, g2, model, opts)
+    S = precompute_scores(g1, g2, model, scores)
+    dp = fill_dp(g1, g2, S, scores)
+    aln = backtrack(g1, g2, dp, scores)
+    anc = merge_graphs(g1, g2, aln.mapping1, aln.mapping2, model, model,
+                       0.5, 0.5, opts)
+    cg, _ = clean_graph(anc.graph, opts)
+    for g in (g1, g2, anc.graph, cg):
+        assert (average_alignment_length(g, "native")
+                == average_alignment_length(g, "numpy"))
