@@ -1,13 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: DP cells/sec on the device vs the reference binary.
+"""Benchmark against the reference binary on the BASELINE workload.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} and writes
+BENCH_DETAIL.json with every sub-measurement.
 
-Workload: the BASELINE config-2 core — batched all-pairs NW distance DP over
-the 100-sequence family (the O(N²L²) hot loop of --nwdist), measured as DP
-cell updates/second on the device, compared against the reference binary
-computing the identical distances (its wall time for the same `--mldist
---nwdist -T -i 0` run, which is dominated by the same DP).
+Workload: the 100-sequence family, fixed guide tree (BASELINE.json's
+"wall-clock to reference-identical MSA on a 100-seq family").
+
+* value  = graph-pair DP fill rate (cells/s) on the production engine over
+  the REAL 99 node-pair workloads of that run, counting ACTUAL |g1|*|g2|
+  cells (no padding inflation on either side).
+* vs_baseline = like-for-like END-TO-END ratio: reference binary wall-clock
+  divided by our in-process do_align wall-clock for the identical run
+  (> 1 means faster than the reference).  This deliberately counts all of
+  our Python orchestration against us rather than comparing our kernel time
+  to the reference's total (the round-1 inflation this replaces).
+* Output identity vs the reference is asserted, not assumed.
+
+The all-pairs NW distance kernel (the --nwdist O(N^2 L^2) hot loop) is
+measured on the device into BENCH_DETAIL.json, also in actual cells.
 """
 
 import json
@@ -24,70 +35,147 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 REF_BIN = "/root/reference/bin/ProGraphMSA_64"
 FIXTURE = os.path.join(REPO, "fixtures", "fam100.fasta")
+TREE = os.path.join(REPO, "fixtures", "golden", "tree0_fam100.nwk")
+
+
+def _median_wall(cmd, reps=3):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
 
 def main():
     sys.path.insert(0, REPO)
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    detail = {}
 
     from prographmsa_tpu.config import Options
-    from prographmsa_tpu.alphabet import AA_SPEC
     from prographmsa_tpu.io.fasta import read_fasta
-    import prographmsa_tpu.distances.align as A
+    from prographmsa_tpu.cli import do_align
+    import prographmsa_tpu.engine.progressive as prog
+    from prographmsa_tpu.align.scores import DynProgScores, precompute_scores
+    from prographmsa_tpu.io.fasta import write_fasta
+    from prographmsa_tpu.tree.phytree import get_tree_order
+    import io as _io
 
-    opts = Options(mldist_flag=True, nwdist_flag=True)
-    seqs_str, _ = read_fasta(FIXTURE)
-    seqs = {}
-    for name, s in seqs_str.items():
-        enc = AA_SPEC.encode(s)
-        if len(enc) and enc[0] == ord("M"):
-            enc = enc[1:]
-        seqs[name] = enc
-    order = sorted(seqs)
-    codes = {n: A._seq_codes(AA_SPEC, seqs[n]) for n in order}
-    scoring = A._load_scoring("aa")
-    go, ge = A.GAP_PARAMS["aa"]
+    seqs, _ = read_fasta(FIXTURE)
+    opts = Options(sequence_file=FIXTURE, tree_file=TREE, fasta_flag=True,
+                   iters=0)
 
-    n = len(order)
-    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    L = max(len(c) for c in codes.values())
-    B = len(pairs)
-    s1b = np.zeros((B, L), dtype=np.int32)
-    s2b = np.zeros((B, L), dtype=np.int32)
-    cells = 0
-    for b, (i, j) in enumerate(pairs):
-        c1, c2 = codes[order[i]], codes[order[j]]
-        s1b[b, :len(c1)] = c1
-        s2b[b, :len(c2)] = c2
-        cells += (len(c1) + 1) * (len(c2) + 1)
+    # ---- end-to-end, in-process (production engine), capturing the real
+    # 99 graph-pair DP workloads of the run
+    rec = []
+    orig = prog.align_graphs
 
-    from prographmsa_tpu.distances.nw_device import nw_counts_device
-    l1 = np.array([len(codes[order[i]]) for i, _ in pairs], dtype=np.int32)
-    l2 = np.array([len(codes[order[j]]) for _, j in pairs], dtype=np.int32)
+    def spy(g1, g2, model, options):
+        scores = DynProgScores(g1, g2, model, options)
+        S = precompute_scores(g1, g2, model, scores, options.engine)
+        rec.append((g1, g2, S, scores))
+        return orig(g1, g2, model, options)
 
-    # all 4950 pairs in one fused fill+backtrack kernel call
-    nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, 20)  # compile
-    t0 = time.time()
-    nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, 20)
-    dt = time.time() - t0
-    padded_cells = B * (L + 1) * (L + 1)
-    cells_per_s = padded_cells / dt
+    do_align(seqs, opts)                       # warm (imports, native build)
+    prog.align_graphs = spy
+    t0 = time.perf_counter()
+    aligned, all_trees = do_align(seqs, opts)
+    our_e2e = time.perf_counter() - t0
+    prog.align_graphs = orig
+    detail["our_e2e_wall_s"] = round(our_e2e, 4)
 
-    # reference baseline: identical all-pairs NW distances (+ NJ) wall time
-    t0 = time.time()
-    subprocess.run([REF_BIN, "-T", "-i", "0", "--mldist", "--nwdist",
-                    "-o", "/dev/null", FIXTURE],
-                   check=True, capture_output=True)
-    ref_dt = time.time() - t0
-    ref_cells_per_s = cells / ref_dt
+    # ---- reference binary, same run
+    ref_e2e = _median_wall([REF_BIN, "--fasta", "-t", TREE,
+                            "-o", "/dev/null", FIXTURE])
+    detail["ref_e2e_wall_s"] = round(ref_e2e, 4)
+
+    # ---- output identity (bit-for-bit)
+    ref = subprocess.run([REF_BIN, "--fasta", "-t", TREE, FIXTURE],
+                         check=True, capture_output=True, text=True)
+    buf = _io.StringIO()
+    write_fasta(aligned, get_tree_order(all_trees[-1], opts), buf)
+    detail["identical_to_reference"] = buf.getvalue() == ref.stdout
+    assert detail["identical_to_reference"], "output diverged from reference"
+
+    # ---- graph-pair DP fill rate on the production engine (actual cells)
+    from prographmsa_tpu import native
+    cells = sum(g1.size * g2.size for g1, g2, _, _ in rec)
+    detail["graphdp_pairs"] = len(rec)
+    detail["graphdp_actual_cells"] = cells
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for g1, g2, S, sc in rec:
+            native.fill_dp_native(g1, g2, S, sc)
+    dt = (time.perf_counter() - t0) / reps
+    graphdp_rate = cells / dt
+    detail["graphdp_fill_wall_s"] = round(dt, 4)
+    detail["graphdp_cells_per_sec_native"] = round(graphdp_rate)
+
+    # ---- all-pairs NW device kernel (actual cells on BOTH sides)
+    try:
+        from prographmsa_tpu.alphabet import AA_SPEC
+        import prographmsa_tpu.distances.align as A
+
+        codes = {}
+        for name, s in seqs.items():
+            enc = AA_SPEC.encode(s)
+            if len(enc) and chr(enc[0]) == "M":
+                enc = enc[1:]
+            codes[name] = A._seq_codes(AA_SPEC, enc)
+        order = sorted(codes)
+        scoring = A._load_scoring("aa")
+        go, ge = A.GAP_PARAMS["aa"]
+        n = len(order)
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        L = max(len(c) for c in codes.values())
+        B = len(pairs)
+        s1b = np.zeros((B, L), dtype=np.int32)
+        s2b = np.zeros((B, L), dtype=np.int32)
+        nw_cells = 0
+        for b, (i, j) in enumerate(pairs):
+            c1, c2 = codes[order[i]], codes[order[j]]
+            s1b[b, :len(c1)] = c1
+            s2b[b, :len(c2)] = c2
+            nw_cells += (len(c1) + 1) * (len(c2) + 1)
+        l1 = np.array([len(codes[order[i]]) for i, _ in pairs], np.int32)
+        l2 = np.array([len(codes[order[j]]) for _, j in pairs], np.int32)
+
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        from prographmsa_tpu.distances.nw_device import nw_counts_device
+        nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, 20)  # compile
+        t0 = time.perf_counter()
+        out = nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, 20)
+        np.asarray(out[0])
+        nw_dt = time.perf_counter() - t0
+        detail["nw_actual_cells"] = nw_cells
+        detail["nw_device_wall_s"] = round(nw_dt, 4)
+        detail["nw_cells_per_sec_device"] = round(nw_cells / nw_dt)
+        # reference on the equivalent --nwdist distance stage (its total
+        # wall for -T -i 0 --mldist --nwdist is dominated by this DP)
+        ref_nw = _median_wall([REF_BIN, "-T", "-i", "0", "--mldist",
+                               "--nwdist", "-o", "/dev/null", FIXTURE], 1)
+        detail["ref_nwdist_wall_s"] = round(ref_nw, 4)
+        detail["nw_cells_per_sec_reference_upper"] = round(nw_cells / ref_nw)
+    except Exception as e:  # noqa: BLE001 — device kernel is optional here
+        detail["nw_device_error"] = repr(e)
+
+    detail["backend"] = None
+    try:
+        import jax
+        detail["backend"] = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        pass
+
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
 
     print(json.dumps({
-        "metric": "nw_dp_cells_per_sec_chip",
-        "value": round(cells_per_s),
+        "metric": "graphdp_cells_per_sec",
+        "value": round(graphdp_rate),
         "unit": "cells/s",
-        "vs_baseline": round(cells_per_s / ref_cells_per_s, 3),
+        "vs_baseline": round(ref_e2e / our_e2e, 3),
     }))
 
 

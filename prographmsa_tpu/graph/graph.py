@@ -93,8 +93,17 @@ class Graph:
         sites[n - 1] = 0.0
         preds = [[] for _ in range(n)]
         reps = [[] for _ in range(n)]
-        for (to, frm) in sorted(edge_map):
-            preds[to].append((frm, quantize_cost(edge_map[(to, frm)])))
+        # vectorized quantize_cost over all edges (same per-element ops)
+        keys = sorted(edge_map)
+        if keys:
+            costs = np.array([float(edge_map[k]) for k in keys],
+                             dtype=np.float64)
+            c = np.minimum(costs, np.float64(MAX_EDGE_COST)).astype(np.float32)
+            stored = (c - MAX_EDGE_COST).astype(np.float32)
+            q = np.where(stored == np.float32(0.0), INF,
+                         (stored + MAX_EDGE_COST).astype(np.float32))
+            for (to, frm), qc in zip(keys, q):
+                preds[to].append((frm, qc))
         for (to, frm) in sorted(repeat_map):
             units = repeat_map[(to, frm)]
             # stored index_t 0 would read as "no edge" -> inf; units>0 normal
