@@ -7,8 +7,9 @@ count vectors via a single matmul, then the distance transform
 
 This is the natural first TPU kernel: the cosine GEMM maps straight onto the
 MXU.  ``compute_angle_distances`` is the float64 host/parity path (matches
-the reference's double-precision Eigen GEMM); ``compute_angle_distances_jax``
-is the device path used for large N, sharded over the mesh by the caller.
+the reference's double-precision Eigen GEMM, whose rounding decides NJ
+tie-breaks); the device/MXU form of the Gram matrix — exact for integer
+counts < 2^24 — is ``parallel.sharded.sharded_gram``, sharded over the mesh.
 """
 
 from __future__ import annotations
@@ -84,26 +85,4 @@ def compute_angle_distances(spec, seqs: Dict[str, np.ndarray],
             # sequential-k accumulation (cumsum rounds like a scalar loop)
             G[i, :] = np.cumsum(scaled[i][:, None] * C, axis=0)[-1]
         cos = G * inv_norm[None, :]
-    return _distance_transform(cos, seq_len, options)
-
-
-def compute_angle_distances_jax(spec, seqs: Dict[str, np.ndarray],
-                                order: List[str], options):
-    """Device path: the cosine GEMM runs on the MXU (float32 counts are
-    exact integers well below 2^24, so the matmul is exact; the transform
-    is applied in float64 on host for parity)."""
-    import jax.numpy as jnp
-    import jax
-
-    counts, seq_len = kmer_counts(spec, seqs, order, spec.kmer_k)
-    c = jnp.asarray(counts, dtype=jnp.float32)
-
-    @jax.jit
-    def gram(c):
-        return jnp.dot(c, c.T, preferred_element_type=jnp.float32)
-
-    g = np.asarray(gram(c), dtype=np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        inv_norm = 1.0 / np.sqrt(np.diag(g))
-        cos = inv_norm[:, None] * g * inv_norm[None, :]
     return _distance_transform(cos, seq_len, options)
