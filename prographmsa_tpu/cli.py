@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--ancestral_seqs", action="store_true")
     # extension (not a reference flag): per-phase wall-clock report to stderr
     a("--timings", action="store_true", dest="timings")
+    # extension (not a reference flag): phase checkpoint/resume directory
+    a("--checkpoint_dir", default="")
     # extension (not a reference flag): kernel engine selection
     a("--engine", choices=("auto", "native", "numpy", "device", "pallas"),
       default="auto", help="DP kernel engine (all are bit-identical): "
@@ -110,6 +112,7 @@ def options_from_args(args) -> Options:
         max_pdist=args.max_pdist, min_pdist=args.min_pdist,
         engine=args.engine,
         timings_flag=args.timings,
+        checkpoint_dir=args.checkpoint_dir,
     )
     # codon default rescaling (main.cpp:225-241): only when flags unset
     defaults = dict(indel_set="--indel_rate" in sys.argv or "-g" in sys.argv,
@@ -173,17 +176,33 @@ def do_align(seqs: Dict[str, str], options: Options):
     if options.topo_file:
         with open(options.topo_file) as fh:
             topo = parse_newick(fh.read())
-    if options.tree_file:
-        with open(options.tree_file) as fh:
-            tree = parse_newick(fh.read())
+    ckpt = None
+    state = None
+    if options.checkpoint_dir:
+        from .checkpoint import PhaseCheckpoint
+        ckpt = PhaseCheckpoint(options, seqs)
+        state = ckpt.load()
+
+    if state is not None:
+        tree = state["tree"]
+        all_trees = state["all_trees"]
+        old_aligned = state["old_aligned"]
+        start_i = state["i_next"]
     else:
-        tree = tree_nj(spec, seqs2, False, factory, options, topo)
+        if options.tree_file:
+            with open(options.tree_file) as fh:
+                tree = parse_newick(fh.read())
+        else:
+            tree = tree_nj(spec, seqs2, False, factory, options, topo)
+        all_trees = [tree.copy()]
+        old_aligned = None
+        start_i = 0
+        if ckpt is not None:
+            ckpt.save(0, tree, all_trees, None)
 
-    all_trees = [tree.copy()]
     result = None
-    old_result = None
 
-    for i in range(options.iters):
+    for i in range(start_i, options.iters):
         cache = {}
         result = progressive_alignment(spec, seqs2, tree, reps, csprofile,
                                        factory, options, cache)
@@ -192,13 +211,14 @@ def do_align(seqs: Dict[str, str], options: Options):
             n: s for n, s in result.aligned_sequences.items()
             if not n.startswith("(")}
         # early convergence exit (main.cpp:418-420)
-        if i > 0 and _aligned_equal(result.aligned_sequences,
-                                    old_result.aligned_sequences):
+        if i > 0 and _aligned_equal(result.aligned_sequences, old_aligned):
             break
         tree = tree_nj(spec, result.aligned_sequences, True, factory,
                        options, topo)
         all_trees.append(tree.copy())
-        old_result = result
+        old_aligned = result.aligned_sequences
+        if ckpt is not None:
+            ckpt.save(i + 1, tree, all_trees, old_aligned)
 
     if not options.onlytree_flag:
         if options.reroot_flag:

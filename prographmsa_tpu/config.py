@@ -71,6 +71,8 @@ class Options:
     engine: str = "auto"
     # --timings: per-phase wall-clock report to stderr (extension)
     timings_flag: bool = False
+    # --checkpoint_dir: guide-tree phase checkpoint/resume (extension)
+    checkpoint_dir: str = ""
 
     def with_codon_rescaling(
         self,
