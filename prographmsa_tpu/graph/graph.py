@@ -43,7 +43,7 @@ def quantize_cost(cost) -> np.float32:
 
 
 class Graph:
-    __slots__ = ("sites", "preds", "reps")
+    __slots__ = ("sites", "preds", "reps", "_pad_cache")
 
     def __init__(self, sites: np.ndarray,
                  preds: List[List[Tuple[int, np.float32]]],
@@ -51,6 +51,7 @@ class Graph:
         self.sites = sites          # [n, DIM] float64
         self.preds = preds          # per-node [(pred, cost_f32)] ascending
         self.reps = reps            # per-node [(pred, units)] ascending
+        self._pad_cache = None      # memoized padded() export
 
     # ------------------------------------------------------------------
     @property
@@ -134,6 +135,7 @@ class Graph:
             if units > 0:
                 reps[to].append((frm, units))
         self.reps = reps
+        self._pad_cache = None
 
     def reset_sites(self) -> None:
         """Graph::reset (Graph.h:369-373)."""
@@ -164,12 +166,16 @@ class Graph:
         self.sites = np.delete(self.sites, slice(first, first + count), axis=0)
         self.preds = new_preds
         self.reps = new_reps
+        self._pad_cache = None
 
     # ------------------------------------------------------------------
     def padded(self):
         """Fixed-capacity arrays for the device DP kernel:
         (pred_idx [n,E] int32 w/ -1 pad, pred_cost [n,E] float32 w/ +inf pad,
-        is_rep [n,E] bool, rep_units [n,E] int32)."""
+        is_rep [n,E] bool, rep_units [n,E] int32).  Memoized; mutators
+        invalidate."""
+        if self._pad_cache is not None:
+            return self._pad_cache
         n = self.size
         emax = max(1, max(len(self.preds[i]) + len(self.reps[i])
                           for i in range(n)))
@@ -188,7 +194,8 @@ class Graph:
                 isrep[i, k] = True
                 units[i, k] = u
                 k += 1
-        return idx, cost, isrep, units
+        self._pad_cache = (idx, cost, isrep, units)
+        return self._pad_cache
 
 
 def _repeat_edges(repeat_map: Dict[Tuple[int, int], int],
@@ -236,6 +243,25 @@ def clean_graph(graph: Graph, options):
     n = graph.size
     repeat_ext = INF if options.repeatext_prob == 0 else np.float32(0.0)
 
+    if getattr(options, "engine", "auto") in ("auto", "native"):
+        from .. import native
+        res = native.clean_graph_native(graph, repeat_ext)
+        if res is not None:
+            mapping, new_dim, e_to, e_from, e_cost, r_to, r_from, r_units = res
+            keep = mapping != -1
+            sites = graph.sites[keep].copy()
+            sites_order = np.argsort(mapping[keep], kind="stable")
+            sites = sites[sites_order]
+            preds = [[] for _ in range(new_dim)]
+            reps = [[] for _ in range(new_dim)]
+            for y, x, c in zip(e_to.tolist(), e_from.tolist(), e_cost):
+                preds[y].append((x, c))
+            for y, x, u in zip(r_to.tolist(), r_from.tolist(),
+                               r_units.tolist()):
+                reps[y].append((x, u))
+            outmapping = np.flatnonzero(keep).astype(np.int64)[sites_order]
+            return Graph(sites, preds, reps), outmapping
+
     marked_fw = np.zeros(n, dtype=bool)
     marked_bw = np.zeros(n, dtype=bool)
     mapping = np.full(n, -1, dtype=np.int64)
@@ -244,12 +270,15 @@ def clean_graph(graph: Graph, options):
     mapping[0] = 0
     new_dim = 1
 
-    # repeat-edge traversability under (repeat_init=0, repeat_ext)
+    # repeat-edge traversability under (repeat_init=0, repeat_ext);
+    # inf*0 -> NaN (units==1 with repeat_ext=inf) and NaN != INF, so such
+    # edges stay traversable — matched by the native kernel
     def edges_of(to):
         for p, c in graph.preds[to]:
             yield p, c
-        for p, u in graph.reps[to]:
-            yield p, np.float32(0.0 + repeat_ext * (u - 1))
+        with np.errstate(invalid="ignore"):
+            for p, u in graph.reps[to]:
+                yield p, np.float32(0.0 + repeat_ext * (u - 1))
 
     for to in range(n - 1, 0, -1):
         if not marked_bw[to]:

@@ -79,6 +79,12 @@ def lib():
                                            pf32, f32, pf32]
         L.gc_average_alignment_length.restype = ctypes.c_double
         L.gc_average_alignment_length.argtypes = [i32, i32, pi32, pf32]
+        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        pi32_1 = ctypes.POINTER(ctypes.c_int32)
+        L.gc_clean_graph.restype = i32
+        L.gc_clean_graph.argtypes = [i32, i32, pi32, pf32, pu8, pi32, f32,
+                                     pi32, pi32, pi32, pf32, pi32_1,
+                                     pi32, pi32, pi32, pi32_1]
         _lib = L
         return _lib
 
@@ -195,6 +201,38 @@ def average_alignment_length_native(graph):
             idx[i, k] = p
             cost[i, k] = c
     return float(L.gc_average_alignment_length(n, E, idx, cost))
+
+
+def clean_graph_native(graph, repeat_ext):
+    """Native gc_clean_graph -> (mapping [n] int32, new_dim, edge arrays,
+    repeat arrays), identical to the numpy marking/compaction.  None when
+    unavailable; raises AssertionError on the reachability invariant like
+    the Python path."""
+    L = lib()
+    if L is None:
+        return None
+    idx, cost, isrep, units = graph.padded()
+    n, E = idx.shape
+    mapping = np.empty(n, dtype=np.int32)
+    cap = n * E
+    e_to = np.empty(cap, dtype=np.int32)
+    e_from = np.empty(cap, dtype=np.int32)
+    e_cost = np.empty(cap, dtype=np.float32)
+    r_to = np.empty(cap, dtype=np.int32)
+    r_from = np.empty(cap, dtype=np.int32)
+    r_units = np.empty(cap, dtype=np.int32)
+    ne = ctypes.c_int32()
+    nr = ctypes.c_int32()
+    new_dim = L.gc_clean_graph(
+        n, E, np.ascontiguousarray(idx), np.ascontiguousarray(cost),
+        np.ascontiguousarray(isrep, dtype=np.uint8),
+        np.ascontiguousarray(units), np.float32(repeat_ext),
+        mapping, e_to, e_from, e_cost, ctypes.byref(ne),
+        r_to, r_from, r_units, ctypes.byref(nr))
+    assert new_dim >= 0, "clean_graph reachability invariant"
+    ne, nr = ne.value, nr.value
+    return (mapping, new_dim, e_to[:ne], e_from[:ne], e_cost[:ne],
+            r_to[:nr], r_from[:nr], r_units[:nr])
 
 
 def nw_counts_native(s1b, s2b, l1, l2, scoring, go, ge, dim):

@@ -460,6 +460,87 @@ void gc_precompute_scores(int32_t n1, int32_t n2, int32_t dim,
 }
 
 // ---------------------------------------------------------------------
+// CleanedGraph marking + edge compaction (graph/graph.py clean_graph;
+// CleanedGraph.h:38-146).  Traversability of a repeat edge uses
+// 0 + repeat_ext*(units-1): with repeat_ext = +inf and units == 1 this is
+// inf*0 = NaN, and NaN != inf, so the edge IS traversable — the same
+// float semantics as the numpy path.  Returns new_dim, or -1 when the
+// start/end reachability invariant fails (caller raises).  Emits:
+//   mapping[n]                      old -> new index (-1 dropped)
+//   e_to/e_from/e_cost (ne_out)     kept normal edges, ascending (to, from)
+//   r_to/r_from/r_units (nr_out)    kept repeat edges, ascending
+int32_t gc_clean_graph(int32_t n, int32_t E,
+                       const int32_t* idx, const float* cost,
+                       const uint8_t* isrep, const int32_t* units,
+                       float repeat_ext,
+                       int32_t* mapping,
+                       int32_t* e_to, int32_t* e_from, float* e_cost,
+                       int32_t* ne_out,
+                       int32_t* r_to, int32_t* r_from, int32_t* r_units,
+                       int32_t* nr_out) {
+    const float INF = INFINITY;
+    std::vector<uint8_t> fw((size_t)n, 0), bw((size_t)n, 0);
+    fw[0] = 1;
+    bw[n - 1] = 1;
+    for (int i = 0; i < n; ++i) mapping[i] = -1;
+    mapping[0] = 0;
+    int32_t new_dim = 1;
+
+    auto trav_cost = [&](size_t s) -> float {
+        if (!isrep[s]) return cost[s];
+        return 0.0f + repeat_ext * (float)(units[s] - 1);
+    };
+
+    for (int to = n - 1; to >= 1; --to) {
+        if (!bw[to]) continue;
+        for (int e = 0; e < E; ++e) {
+            size_t s = (size_t)to * E + e;
+            int p = idx[s];
+            if (p < 0) continue;
+            float c = trav_cost(s);
+            if (!(c == INF)) bw[p] = 1;
+        }
+    }
+    for (int to = 1; to < n; ++to) {
+        for (int e = 0; e < E; ++e) {
+            size_t s = (size_t)to * E + e;
+            int p = idx[s];
+            if (p < 0) continue;
+            float c = trav_cost(s);
+            if (!(c == INF) && fw[p]) {
+                fw[to] = 1;
+                if (bw[to]) mapping[to] = new_dim++;
+                break;
+            }
+        }
+    }
+    if (!bw[0] || !fw[n - 1]) return -1;
+
+    int32_t ne = 0, nr = 0;
+    for (int to = 0; to < n; ++to) {
+        int y = mapping[to];
+        if (y == -1) continue;
+        for (int e = 0; e < E; ++e) {
+            size_t s = (size_t)to * E + e;
+            int p = idx[s];
+            if (p < 0) continue;
+            int x = mapping[p];
+            if (x == -1) continue;
+            if (!isrep[s]) {
+                if (cost[s] != INF) {
+                    e_to[ne] = y; e_from[ne] = x; e_cost[ne] = cost[s]; ++ne;
+                }
+            } else if (units[s] > 0) {
+                r_to[nr] = y; r_from[nr] = x; r_units[nr] = units[s]; ++nr;
+            }
+        }
+    }
+    *ne_out = ne;
+    *nr_out = nr;
+    return new_dim;
+}
+
+// ---------------------------------------------------------------------
 // Average free-edge path length (align/scores.py average_alignment_length;
 // GraphAlign.h:57-96).  preds given as padded idx/cost arrays WITHOUT
 // repeat edges (their cost is +inf under (inf, inf) so they never count).

@@ -159,3 +159,29 @@ def test_average_alignment_length_native_on_merged_graph():
     for g in (g1, g2, anc.graph, cg):
         assert (average_alignment_length(g, "native")
                 == average_alignment_length(g, "numpy"))
+
+
+def test_clean_graph_native_parity():
+    from prographmsa_tpu.graph.graph import clean_graph
+    rng = np.random.default_rng(9)
+    model, opts, _ = _model()
+    g1 = sequence_graph(AA_SPEC, _rand_seq(rng, 30))
+    g2 = sequence_graph(AA_SPEC, _rand_seq(rng, 26))
+    scores = DynProgScores(g1, g2, model, opts)
+    S = precompute_scores(g1, g2, model, scores)
+    dp = fill_dp(g1, g2, S, scores)
+    aln = backtrack(g1, g2, dp, scores)
+    anc = merge_graphs(g1, g2, aln.mapping1, aln.mapping2, model, model,
+                       0.5, 0.5, opts)
+    # repeat edges too (incl. the units==1 NaN-traversal quirk)
+    tr = np.full(anc.graph.size - 2, -1, dtype=np.int64)
+    tr[4:8] = [0, 1, 0, 1]
+    anc.graph.add_repeats([tr])
+
+    for o in (opts, opts.replace(repeatext_prob=0.0)):
+        cn, on = clean_graph(anc.graph, o.replace(engine="native"))
+        cp, op = clean_graph(anc.graph, o.replace(engine="numpy"))
+        assert np.array_equal(on, op)
+        assert np.array_equal(cn.sites, cp.sites)
+        assert cn.preds == cp.preds
+        assert cn.reps == cp.reps
