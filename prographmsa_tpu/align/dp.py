@@ -35,6 +35,9 @@ def _padded_with_repeat_costs(graph, scores):
     """Padded predecessor arrays with repeat-edge costs materialized
     (cost = repeat_init + repeat_ext*(units-1), float32; Graph.h:236)."""
     idx, cost, isrep, units = graph.padded()
+    if not isrep.any():
+        # repeat-free graph: the overlay is the identity
+        return idx, cost, isrep
     rep_cost = (np.float32(scores.repeat_init)
                 + np.float32(scores.repeat_ext)
                 * (units - 1).astype(np.float32))

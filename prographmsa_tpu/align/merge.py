@@ -147,6 +147,23 @@ def _readd_edges(edges, repeats, graph, inv_map, is_matched, unused_penalty):
                     repeats[key] = units
 
 
+def _graph_from_edge_arrays(nodes: np.ndarray, arrs) -> Graph:
+    """Graph from the native kernel's pre-sorted, pre-quantized edge arrays
+    (the fast-path equivalent of Graph.from_maps)."""
+    e_to, e_from, e_cost, r_to, r_from, r_units = arrs
+    n = nodes.shape[0]
+    sites = nodes.astype(np.float64).copy()
+    sites[0] = 0.0
+    sites[n - 1] = 0.0
+    preds: List[List] = [[] for _ in range(n)]
+    reps: List[List] = [[] for _ in range(n)]
+    for y, x, c in zip(e_to.tolist(), e_from.tolist(), e_cost):
+        preds[y].append((x, c))
+    for y, x, u in zip(r_to.tolist(), r_from.tolist(), r_units.tolist()):
+        reps[y].append((x, u))
+    return Graph(sites, preds, reps)
+
+
 def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,
                  support1: float, support2: float, options) -> AncestralResult:
     nodes: List[np.ndarray] = []
@@ -169,8 +186,6 @@ def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,
         if matched[j] and m1[j] == -1 and m2[j] != -1:
             nodes[j] = _norm_or_zero(P2 @ g2.sites[m2[j]])
 
-    _homologous_path_edges(edges, m1, m2, matched, len(nodes))
-
     inv1 = _inverse_mapping(m1, g1.size)
     inv2 = _inverse_mapping(m2, g2.size)
 
@@ -178,6 +193,16 @@ def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,
     up1 = f32(-LOG(asp + (1.0 - asp) * (1.0 - support1)))
     up2 = f32(-LOG(asp + (1.0 - asp) * (1.0 - support2)))
 
+    if getattr(options, "engine", "auto") in ("auto", "native"):
+        from .. import native
+        res = native.merge_edges_native(m1, m2, matched, g1, inv1, g2, inv2,
+                                        up1, up2, True)
+        if res is not None:
+            graph = _graph_from_edge_arrays(np.array(nodes), res)
+            return AncestralResult(graph=graph, mapping1=m1, mapping2=m2,
+                                   is_matched=matched)
+
+    _homologous_path_edges(edges, m1, m2, matched, len(nodes))
     _readd_edges(edges, repeats, g1, inv1, matched, up1)
     _readd_edges(edges, repeats, g2, inv2, matched, up2)
 
@@ -204,11 +229,19 @@ def merge_graphs_incremental(anc_graph: Graph, graph: Graph, anc_mapping,
            col2=lambda i: P @ graph.sites[i],
            col_match=lambda k1, k2: anc_graph.sites[k1] * (P @ graph.sites[k2]))
 
-    _homologous_path_edges(edges, m1, m2, matched, len(nodes))
-
     inv1 = _inverse_mapping(m1, anc_graph.size)
     inv2 = _inverse_mapping(m2, graph.size)
 
+    res = None
+    from .. import native
+    res = native.merge_edges_native(m1, m2, matched, anc_graph, inv1,
+                                    graph, inv2, 0.0, 0.0, False)
+    if res is not None:
+        g = _graph_from_edge_arrays(np.array(nodes), res)
+        return AncestralResult(graph=g, mapping1=m1, mapping2=m2,
+                               is_matched=matched)
+
+    _homologous_path_edges(edges, m1, m2, matched, len(nodes))
     _readd_edges(edges, repeats, anc_graph, inv1, matched, None)
     _readd_edges(edges, repeats, graph, inv2, matched, None)
 

@@ -85,6 +85,13 @@ def lib():
         L.gc_clean_graph.argtypes = [i32, i32, pi32, pf32, pu8, pi32, f32,
                                      pi32, pi32, pi32, pf32, pi32_1,
                                      pi32, pi32, pi32, pi32_1]
+        L.gc_merge_edges.restype = None
+        L.gc_merge_edges.argtypes = [i32, pi32, pi32, pu8,
+                                     i32, i32, pi32, pf32, pu8, pi32, pi32,
+                                     i32, i32, pi32, pf32, pu8, pi32, pi32,
+                                     f32, f32, i32,
+                                     pi32, pi32, pf32, pi32_1,
+                                     pi32, pi32, pi32, pi32_1]
         _lib = L
         return _lib
 
@@ -232,6 +239,50 @@ def clean_graph_native(graph, repeat_ext):
     assert new_dim >= 0, "clean_graph reachability invariant"
     ne, nr = ne.value, nr.value
     return (mapping, new_dim, e_to[:ne], e_from[:ne], e_cost[:ne],
+            r_to[:nr], r_from[:nr], r_units[:nr])
+
+
+def merge_edges_native(m1, m2, matched, g1, inv1, g2, inv2,
+                       up1, up2, with_penalty):
+    """Native gc_merge_edges -> (e_to, e_from, e_cost_quantized, r_to,
+    r_from, r_units) in (to, from)-sorted order, identical to the Python
+    edge bookkeeping + from_maps quantization.  None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n_nodes = len(m1)
+    m1a = np.asarray(m1, dtype=np.int32)
+    m2a = np.asarray(m2, dtype=np.int32)
+    ma = np.asarray(matched, dtype=np.uint8)
+    idx1, cost1, isrep1, units1 = g1.padded()
+    idx2, cost2, isrep2, units2 = g2.padded()
+    cap = (n_nodes * 4 + g1.size * idx1.shape[1] + g2.size * idx2.shape[1]
+           + 16)
+    e_to = np.empty(cap, dtype=np.int32)
+    e_from = np.empty(cap, dtype=np.int32)
+    e_cost = np.empty(cap, dtype=np.float32)
+    r_to = np.empty(cap, dtype=np.int32)
+    r_from = np.empty(cap, dtype=np.int32)
+    r_units = np.empty(cap, dtype=np.int32)
+    ne = ctypes.c_int32()
+    nr = ctypes.c_int32()
+    L.gc_merge_edges(
+        n_nodes, m1a, m2a, ma,
+        g1.size, idx1.shape[1], np.ascontiguousarray(idx1),
+        np.ascontiguousarray(cost1),
+        np.ascontiguousarray(isrep1, dtype=np.uint8),
+        np.ascontiguousarray(units1),
+        np.ascontiguousarray(inv1, dtype=np.int32),
+        g2.size, idx2.shape[1], np.ascontiguousarray(idx2),
+        np.ascontiguousarray(cost2),
+        np.ascontiguousarray(isrep2, dtype=np.uint8),
+        np.ascontiguousarray(units2),
+        np.ascontiguousarray(inv2, dtype=np.int32),
+        np.float32(up1), np.float32(up2), 1 if with_penalty else 0,
+        e_to, e_from, e_cost, ctypes.byref(ne),
+        r_to, r_from, r_units, ctypes.byref(nr))
+    ne, nr = ne.value, nr.value
+    return (e_to[:ne], e_from[:ne], e_cost[:ne],
             r_to[:nr], r_from[:nr], r_units[:nr])
 
 

@@ -20,7 +20,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -538,6 +540,118 @@ int32_t gc_clean_graph(int32_t n, int32_t E,
     *ne_out = ne;
     *nr_out = nr;
     return new_dim;
+}
+
+// ---------------------------------------------------------------------
+// Ancestral-graph edge construction (align/merge.py
+// _homologous_path_edges + _readd_edges + Graph.from_maps edge pass;
+// GraphAlign.h:626-722).  The numeric column profiles stay in numpy (they
+// depend on BLAS dgemv/nrm2 rounding); this covers the pure edge
+// bookkeeping: free homologous-path/skip edges, original-edge re-adding
+// with half-life penalties (float32 adds in the numpy op order),
+// min-combining, (to, from)-sorted emission, and insertion-time cost
+// quantization (min(c,1e4) stored as f32 c-1e4; 0 -> +inf).
+static inline void upd_edge(std::map<std::pair<int32_t, int32_t>, float>& m,
+                            int32_t frm, int32_t to, float cost) {
+    auto key = std::make_pair(to, frm);
+    auto it = m.find(key);
+    if (it == m.end()) m.emplace(key, cost);
+    else it->second = std::min(it->second, cost);
+}
+
+void gc_merge_edges(int32_t n_nodes,
+                    const int32_t* m1, const int32_t* m2,
+                    const uint8_t* matched,
+                    // graph 1
+                    int32_t g1n, int32_t g1E, const int32_t* idx1,
+                    const float* cost1, const uint8_t* isrep1,
+                    const int32_t* units1, const int32_t* inv1,
+                    // graph 2
+                    int32_t g2n, int32_t g2E, const int32_t* idx2,
+                    const float* cost2, const uint8_t* isrep2,
+                    const int32_t* units2, const int32_t* inv2,
+                    float up1, float up2, int32_t with_penalty,
+                    int32_t* e_to, int32_t* e_from, float* e_cost,
+                    int32_t* ne_out,
+                    int32_t* r_to, int32_t* r_from, int32_t* r_units,
+                    int32_t* nr_out) {
+    std::map<std::pair<int32_t, int32_t>, float> edges;
+    std::map<std::pair<int32_t, int32_t>, int32_t> repeats;
+
+    // homologous path + skip edges (GraphAlign.h:626-657)
+    int32_t last_xy = 0, last_x = 0, last_y = 0, last_mapped = 0;
+    for (int32_t i = 1; i < n_nodes; ++i) {
+        if (!matched[i]) continue;
+        upd_edge(edges, last_mapped, i, 0.0f);
+        last_mapped = i;
+        if (m1[i] != -1 && m2[i] != -1) {
+            if (last_xy != i - 1) upd_edge(edges, last_xy, i, 0.0f);
+            last_xy = i;
+        }
+        if (m1[i] != -1) {
+            if (last_y != i - 1) upd_edge(edges, last_y, i, 0.0f);
+            last_y = i;
+        }
+        if (m2[i] != -1) {
+            if (last_x != i - 1) upd_edge(edges, last_x, i, 0.0f);
+            last_x = i;
+        }
+    }
+
+    // re-add original edges with half-life penalties (GraphAlign.h:675-722)
+    auto readd = [&](int32_t gn, int32_t gE, const int32_t* idx,
+                     const float* cost, const uint8_t* isrep,
+                     const int32_t* units, const int32_t* inv, float up) {
+        float up_half = up / 2.0f;
+        for (int32_t to = 0; to < gn; ++to) {
+            for (int32_t e = 0; e < gE; ++e) {
+                size_t s = (size_t)to * gE + e;
+                int32_t p = idx[s];
+                if (p < 0) continue;
+                int32_t yy = inv[p];
+                int32_t xx = inv[to];
+                if (!isrep[s]) {
+                    float c = cost[s];
+                    if (!with_penalty) upd_edge(edges, yy, xx, c);
+                    else if (matched[p] && matched[to])
+                        upd_edge(edges, yy, xx, c + up);
+                    else if (matched[p] || matched[to])
+                        upd_edge(edges, yy, xx, c + up_half);
+                    else upd_edge(edges, yy, xx, c);
+                } else if (units[s] > 0) {
+                    auto key = std::make_pair(xx, yy);
+                    auto it = repeats.find(key);
+                    if (it == repeats.end()) repeats.emplace(key, units[s]);
+                    else it->second = std::min(it->second, units[s]);
+                }
+            }
+        }
+    };
+    readd(g1n, g1E, idx1, cost1, isrep1, units1, inv1, up1);
+    readd(g2n, g2E, idx2, cost2, isrep2, units2, inv2, up2);
+
+    // sorted emission with insertion-time quantization (graph.from_maps)
+    int32_t ne = 0, nr = 0;
+    for (const auto& kv : edges) {
+        double d = std::min((double)kv.second, 10000.0);
+        float c = (float)d;
+        float stored = c - 10000.0f;
+        float q = (stored == 0.0f) ? INFINITY : stored + 10000.0f;
+        e_to[ne] = kv.first.first;
+        e_from[ne] = kv.first.second;
+        e_cost[ne] = q;
+        ++ne;
+    }
+    for (const auto& kv : repeats) {
+        if (kv.second > 0) {
+            r_to[nr] = kv.first.first;
+            r_from[nr] = kv.first.second;
+            r_units[nr] = kv.second;
+            ++nr;
+        }
+    }
+    *ne_out = ne;
+    *nr_out = nr;
 }
 
 // ---------------------------------------------------------------------

@@ -185,3 +185,30 @@ def test_clean_graph_native_parity():
         assert np.array_equal(cn.sites, cp.sites)
         assert cn.preds == cp.preds
         assert cn.reps == cp.reps
+
+
+def test_merge_edges_native_parity():
+    from prographmsa_tpu.graph.graph import clean_graph
+    rng = np.random.default_rng(13)
+    model, opts, _ = _model()
+    g1 = sequence_graph(AA_SPEC, _rand_seq(rng, 24))
+    g2 = sequence_graph(AA_SPEC, _rand_seq(rng, 22))
+    # give g1 repeat edges so the carried-units path is exercised
+    tr = np.full(g1.size - 2, -1, dtype=np.int64)
+    tr[3:9] = [0, 1, 2, 0, 1, 2]
+    g1.add_repeats([tr])
+    scores = DynProgScores(g1, g2, model, opts)
+    S = precompute_scores(g1, g2, model, scores)
+    dp = fill_dp(g1, g2, S, scores)
+    aln = backtrack(g1, g2, dp, scores)
+
+    a_nat = merge_graphs(g1, g2, aln.mapping1, aln.mapping2, model, model,
+                         0.5, 0.7, opts.replace(engine="native"))
+    a_py = merge_graphs(g1, g2, aln.mapping1, aln.mapping2, model, model,
+                        0.5, 0.7, opts.replace(engine="numpy"))
+    assert np.array_equal(a_nat.graph.sites, a_py.graph.sites)
+    assert a_nat.graph.preds == a_py.graph.preds
+    assert a_nat.graph.reps == a_py.graph.reps
+    assert a_nat.mapping1 == a_py.mapping1
+    assert a_nat.mapping2 == a_py.mapping2
+    assert a_nat.is_matched == a_py.is_matched
