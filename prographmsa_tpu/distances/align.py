@@ -190,6 +190,49 @@ def _backtrack_pair(W, X, Y, s1, s2, scoring, dim):
     return counts, gaps
 
 
+def _device_nw_chunk(s1b, s2b, l1, l2, scoring, go, ge, dim):
+    """One device NW chunk: mesh-sharded when >1 device is visible, with
+    deterministic recovery — the kernel is a pure function of its inputs, so
+    a failed device/shard launch (preempted chip, mesh error) is retried on
+    the single-device path, and a failure there falls back to the threaded
+    native host kernel (SURVEY §5: retryable shards replace the reference's
+    abort-on-error)."""
+    import sys
+
+    import jax
+
+    ndev = len(jax.devices())
+    if ndev > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import sharded_nw_counts
+        B = s1b.shape[0]
+        Bs = -(-B // ndev) * ndev
+        if Bs != B:
+            pad = ((0, Bs - B), (0, 0))
+            s1b = np.pad(s1b, pad)
+            s2b = np.pad(s2b, pad)
+            l1 = np.pad(l1, (0, Bs - B))
+            l2 = np.pad(l2, (0, Bs - B))
+        try:
+            counts, gaps, _ = sharded_nw_counts(
+                make_mesh(ndev), s1b, s2b, l1, l2, scoring, go, ge, dim)
+            return np.asarray(counts), np.asarray(gaps)
+        except Exception as e:  # noqa: BLE001 — deterministic retry below
+            print("warning: sharded NW launch failed (%r); retrying "
+                  "single-device" % (e,), file=sys.stderr)
+    try:
+        from .nw_device import nw_counts_device
+        return nw_counts_device(s1b, s2b, l1, l2, scoring, go, ge, dim)
+    except Exception as e:  # noqa: BLE001 — final host fallback
+        print("warning: device NW launch failed (%r); recomputing on the "
+              "native host kernel" % (e,), file=sys.stderr)
+        from .. import native
+        res = native.nw_counts_native(s1b, s2b, l1, l2, scoring, go, ge, dim)
+        if res is None:
+            raise
+        return res
+
+
 def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
                          factory, options, batch_pairs: int = 2048,
                          host_backtrack: bool = False):
@@ -243,29 +286,8 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
                 counts_b.append(counts)
                 gaps_b.append(gaps)
         else:
-            import jax
-            ndev = len(jax.devices())
-            if ndev > 1:
-                # multi-chip: shard the pair batch over the mesh
-                # (pairs are independent; outputs gathered by sharding)
-                from ..parallel.mesh import make_mesh
-                from ..parallel.sharded import sharded_nw_counts
-                Bs = -(-B // ndev) * ndev
-                if Bs != B:
-                    pad = ((0, Bs - B), (0, 0))
-                    s1b = np.pad(s1b, pad)
-                    s2b = np.pad(s2b, pad)
-                    l1 = np.pad(l1, (0, Bs - B))
-                    l2 = np.pad(l2, (0, Bs - B))
-                counts_all, gaps_all, _ = sharded_nw_counts(
-                    make_mesh(ndev), s1b, s2b, l1, l2, scoring, go, ge,
-                    spec.DIM)
-                counts_all = np.asarray(counts_all)
-                gaps_all = np.asarray(gaps_all)
-            else:
-                from .nw_device import nw_counts_device
-                counts_all, gaps_all = nw_counts_device(
-                    s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
+            counts_all, gaps_all = _device_nw_chunk(
+                s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
             counts_b = counts_all[:len(chunk)]
             gaps_b = gaps_all[:len(chunk)]
 

@@ -19,8 +19,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-PAIRS_PER_DEV = 64
-L = 128
+PAIRS_PER_DEV = 32
+L = 64
 
 
 def run_one(n: int) -> float:
@@ -28,6 +28,17 @@ def run_one(n: int) -> float:
     sys.path.insert(0, REPO)
     import numpy as np
     import jax
+
+    if len(jax.devices()) < n:
+        # the axon sitecustomize pins the platform before XLA_FLAGS is
+        # honored; rebuild the CPU client with a virtual device count
+        # (same workaround as __graft_entry__.dryrun_multichip)
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < n:
+            from jax._src import xla_bridge
+            xla_bridge._clear_backends()
+            jax.clear_caches()
+            jax.config.update("jax_num_cpu_devices", n)
 
     from prographmsa_tpu.parallel.mesh import make_mesh
     from prographmsa_tpu.parallel.sharded import sharded_nw_counts
