@@ -23,7 +23,8 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_CFLAGS = ["-O3", "-fPIC", "-shared", "-ffp-contract=off", "-std=c++17"]
+_CFLAGS = ["-O3", "-fPIC", "-shared", "-ffp-contract=off", "-std=c++17",
+           "-march=native"]
 
 
 def _build() -> bool:

@@ -27,6 +27,14 @@
 
 namespace {
 const float NEG_INF = -INFINITY;
+
+// max with np.fmax's "drop NaN candidate" direction: returns acc when cand
+// is NaN.  Written as a comparison so the compiler emits a single maxss
+// (fmaxf itself is a libm call — it cannot be lowered to maxss without a
+// no-NaN proof, and it dominated the fill kernel's runtime).
+static inline float maxc(float acc, float cand) {
+  return cand > acc ? cand : acc;
+}
 }
 
 extern "C" {
@@ -34,6 +42,40 @@ extern "C" {
 // ---------------------------------------------------------------------
 // Graph-pair M/X/Y/W fill (align/dp.py fill_dp; GraphAlign.h:201-280).
 // Returns Wend through *wend.
+// Packed (CSR) predecessor lists from a padded [n,E] block: start[y] ..
+// start[y+1] index into (pi, pc).  Slot order is preserved; padded slots
+// (idx < 0) are dropped — they contribute -inf candidates in the numpy
+// path, so skipping them is bit-identical (max is order-insensitive and
+// fmaxf drops NaN candidates regardless of position).  all_single is set
+// when every node except 0 has exactly one predecessor and node 0 has
+// none — the dominant shape after clean_graph (near-linear chains), which
+// gets a branch-free plain affine-NW inner loop below.
+static void pred_csr(int32_t n, int32_t e, const int32_t* idx,
+                     const float* cost, std::vector<int32_t>& start,
+                     std::vector<int32_t>& pi, std::vector<float>& pc,
+                     bool* all_single) {
+  start.resize(n + 1);
+  pi.reserve((size_t)n);
+  pc.reserve((size_t)n);
+  int32_t k = 0;
+  for (int32_t y = 0; y < n; ++y) {
+    start[y] = k;
+    const int32_t* row = idx + (int64_t)y * e;
+    const float* crow = cost + (int64_t)y * e;
+    for (int32_t i = 0; i < e; ++i) {
+      if (row[i] < 0) continue;
+      pi.push_back(row[i]);
+      pc.push_back(crow[i]);
+      ++k;
+    }
+  }
+  start[n] = k;
+  bool single = (start[1] == 0);
+  for (int32_t y = 1; y < n && single; ++y)
+    single = (start[y + 1] - start[y]) == 1;
+  *all_single = single;
+}
+
 void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
                 const int32_t* idx1, const float* cost1,
                 const int32_t* idx2, const float* cost2,
@@ -41,24 +83,39 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
                 float start_init, float end_match, float end_gap,
                 float end_skip, float* M, float* X, float* Y, float* W,
                 float* wend) {
-  const int64_t cells = (int64_t)n1 * n2;
-  for (int64_t k = 0; k < cells; ++k) M[k] = NEG_INF;
-  memcpy(X, M, cells * sizeof(float));
-  memcpy(Y, M, cells * sizeof(float));
-  memcpy(W, M, cells * sizeof(float));
-  W[0] = start_init;
+  std::vector<int32_t> s1, p1, s2, p2;
+  std::vector<float> c1v, c2v;
+  bool single1, single2;
+  pred_csr(n1, e1, idx1, cost1, s1, p1, c1v, &single1);
+  pred_csr(n2, e2, idx2, cost2, s2, p2, c2v, &single2);
 
 #define IDX(a, y, x) a[(int64_t)(y) * n2 + (x)]
+
+  // Every interior cell (1..n1-2, 1..n2-2) is stored unconditionally by
+  // the fill loop, so only the boundary rows/columns need the -inf init
+  // (backtrack and the end-node pass read them).
+  for (int32_t x = 0; x < n2; ++x) {
+    IDX(M, 0, x) = NEG_INF; IDX(X, 0, x) = NEG_INF;
+    IDX(Y, 0, x) = NEG_INF; IDX(W, 0, x) = NEG_INF;
+    IDX(M, n1 - 1, x) = NEG_INF; IDX(X, n1 - 1, x) = NEG_INF;
+    IDX(Y, n1 - 1, x) = NEG_INF; IDX(W, n1 - 1, x) = NEG_INF;
+  }
+  for (int32_t y = 0; y < n1; ++y) {
+    IDX(M, y, 0) = NEG_INF; IDX(X, y, 0) = NEG_INF;
+    IDX(Y, y, 0) = NEG_INF; IDX(W, y, 0) = NEG_INF;
+    IDX(M, y, n2 - 1) = NEG_INF; IDX(X, y, n2 - 1) = NEG_INF;
+    IDX(Y, y, n2 - 1) = NEG_INF; IDX(W, y, n2 - 1) = NEG_INF;
+  }
+  W[0] = start_init;
 
   // boundary column x = 0 (GraphAlign.h:214-223)
   for (int32_t y = 1; y <= n1 - 2; ++y) {
     float acc = NEG_INF;
-    for (int32_t i = 0; i < e1; ++i) {
-      int32_t yp = idx1[(int64_t)y * e1 + i];
-      if (yp < 0) continue;
-      float cy = cost1[(int64_t)y * e1 + i];
-      float cand = fmaxf(IDX(Y, yp, 0) + ge, IDX(W, yp, 0) + sg) - cy;
-      acc = fmaxf(acc, cand);
+    for (int32_t i = s1[y]; i < s1[y + 1]; ++i) {
+      int32_t yp = p1[i];
+      float cy = c1v[i];
+      float cand = maxc(IDX(Y, yp, 0) + ge, IDX(W, yp, 0) + sg) - cy;
+      acc = maxc(acc, cand);
     }
     IDX(Y, y, 0) = acc;
     IDX(W, y, 0) = acc;
@@ -66,12 +123,11 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
   // boundary row y = 0 (GraphAlign.h:225-234)
   for (int32_t x = 1; x <= n2 - 2; ++x) {
     float acc = NEG_INF;
-    for (int32_t j = 0; j < e2; ++j) {
-      int32_t xp = idx2[(int64_t)x * e2 + j];
-      if (xp < 0) continue;
-      float cx = cost2[(int64_t)x * e2 + j];
-      float cand = fmaxf(IDX(X, 0, xp) + ge, IDX(W, 0, xp) + sg) - cx;
-      acc = fmaxf(acc, cand);
+    for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
+      int32_t xp = p2[j];
+      float cx = c2v[j];
+      float cand = maxc(IDX(X, 0, xp) + ge, IDX(W, 0, xp) + sg) - cx;
+      acc = maxc(acc, cand);
     }
     IDX(X, 0, x) = acc;
     IDX(W, 0, x) = acc;
@@ -79,37 +135,78 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
 
   // interior (GraphAlign.h:238-260); row-major is valid because every
   // predecessor index is strictly smaller than its node
-  for (int32_t y = 1; y <= n1 - 2; ++y) {
-    const int32_t* i1 = idx1 + (int64_t)y * e1;
-    const float* c1 = cost1 + (int64_t)y * e1;
-    for (int32_t x = 1; x <= n2 - 2; ++x) {
-      const int32_t* i2 = idx2 + (int64_t)x * e2;
-      const float* c2 = cost2 + (int64_t)x * e2;
-      const float s = IDX(S, y, x);
-      float m = NEG_INF, sx = NEG_INF, sy = NEG_INF;
-      for (int32_t i = 0; i < e1; ++i) {
-        int32_t yp = i1[i];
-        if (yp < 0) continue;
-        float cy = c1[i];
-        sy = fmaxf(sy, fmaxf(IDX(Y, yp, x) + ge, IDX(W, yp, x) + gi) - cy);
-        const float* wrow = W + (int64_t)yp * n2;
-        for (int32_t j = 0; j < e2; ++j) {
-          int32_t xp = i2[j];
-          if (xp < 0) continue;
-          float t = ((wrow[xp] + s) - cy) - c2[j];
-          m = fmaxf(m, t);
+  if (single1 && single2 && n1 > 2 && n2 > 2) {
+    // one predecessor per node: pred of node y is (p1[y-1], c1v[y-1])
+    for (int32_t y = 1; y <= n1 - 2; ++y) {
+      const int32_t yp = p1[y - 1];
+      const float cy = c1v[y - 1];
+      const float* Wp = W + (int64_t)yp * n2;
+      const float* Yp = Y + (int64_t)yp * n2;
+      const float* Sy = S + (int64_t)y * n2;
+      float* My = M + (int64_t)y * n2;
+      float* Xy = X + (int64_t)y * n2;
+      float* Yy = Y + (int64_t)y * n2;
+      float* Wy = W + (int64_t)y * n2;
+      // pass 1 (no intra-row dependency — auto-vectorizes): M and Y from
+      // the completed predecessor row; Wy doubles as the B = max(M, Y)
+      // scratch until pass 2 finalizes it
+      for (int32_t x = 1; x <= n2 - 2; ++x) {
+        const int32_t xp = p2[x - 1];
+        const float cx = c2v[x - 1];
+        float m = ((Wp[xp] + Sy[x]) - cy) - cx;
+        float sy = maxc(Yp[x] + ge, Wp[x] + gi) - cy;
+        My[x] = m;
+        Yy[x] = sy;
+        Wy[x] = maxc(m, sy);
+      }
+      // pass 2 (serial in x): the X/W chain.  With B = max(m, sy) and
+      // W = max(B, X), max(X+ge, W+gi) = max(X+ge, X+gi, B+gi)
+      // = max(X+gmax, B+gi) bit-exactly (max is exact; max(X+ge, X+gi)
+      // resolves to the single add X+max(ge,gi) by rounding monotonicity),
+      // which shortens the loop-carried dependency to sub+add+max.
+      {
+        const float gmax = maxc(ge, gi);
+        // A[x] = max(X[y,x]+ge, W[y,x]+gi); seed from the boundary column
+        float a = maxc(Xy[0] + ge, Wy[0] + gi);
+        int32_t prev = 0;
+        for (int32_t x = 1; x <= n2 - 2; ++x) {
+          const int32_t xp = p2[x - 1];
+          if (xp != prev)  // skip edge: recompute A at xp off the chain
+            a = maxc(Xy[xp] + ge, Wy[xp] + gi);
+          float sx = a - c2v[x - 1];
+          float b = Wy[x];
+          Xy[x] = sx;
+          Wy[x] = maxc(b, sx);
+          a = maxc(sx + gmax, b + gi);
+          prev = x;
         }
       }
-      for (int32_t j = 0; j < e2; ++j) {
-        int32_t xp = i2[j];
-        if (xp < 0) continue;
-        float cx = c2[j];
-        sx = fmaxf(sx, fmaxf(IDX(X, y, xp) + ge, IDX(W, y, xp) + gi) - cx);
+    }
+  } else {
+    for (int32_t y = 1; y <= n1 - 2; ++y) {
+      for (int32_t x = 1; x <= n2 - 2; ++x) {
+        const float s = IDX(S, y, x);
+        float m = NEG_INF, sx = NEG_INF, sy = NEG_INF;
+        for (int32_t i = s1[y]; i < s1[y + 1]; ++i) {
+          int32_t yp = p1[i];
+          float cy = c1v[i];
+          sy = maxc(sy, maxc(IDX(Y, yp, x) + ge, IDX(W, yp, x) + gi) - cy);
+          const float* wrow = W + (int64_t)yp * n2;
+          for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
+            float t = ((wrow[p2[j]] + s) - cy) - c2v[j];
+            m = maxc(m, t);
+          }
+        }
+        for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
+          int32_t xp = p2[j];
+          float cx = c2v[j];
+          sx = maxc(sx, maxc(IDX(X, y, xp) + ge, IDX(W, y, xp) + gi) - cx);
+        }
+        IDX(M, y, x) = m;
+        IDX(X, y, x) = sx;
+        IDX(Y, y, x) = sy;
+        IDX(W, y, x) = maxc(m, maxc(sx, sy));
       }
-      IDX(M, y, x) = m;
-      IDX(X, y, x) = sx;
-      IDX(Y, y, x) = sy;
-      IDX(W, y, x) = fmaxf(m, fmaxf(sx, sy));
     }
   }
 
@@ -124,11 +221,11 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
       if (xp < 0) continue;
       float cx = cost2[(int64_t)(n2 - 1) * e2 + j];
       if (xp == 0 && yp == 0) {
-        we = fmaxf(((end_skip - cy) - cx), we);
+        we = maxc(we, ((end_skip - cy) - cx));
       } else {
-        we = fmaxf((((IDX(X, yp, xp) + end_gap) - cy) - cx), we);
-        we = fmaxf((((IDX(Y, yp, xp) + end_gap) - cy) - cx), we);
-        we = fmaxf((((IDX(M, yp, xp) + end_match) - cy) - cx), we);
+        we = maxc(we, (((IDX(X, yp, xp) + end_gap) - cy) - cx));
+        we = maxc(we, (((IDX(Y, yp, xp) + end_gap) - cy) - cx));
+        we = maxc(we, (((IDX(M, yp, xp) + end_match) - cy) - cx));
       }
     }
   }
