@@ -174,17 +174,31 @@ def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,
     matched: List[bool] = []
 
     P1, P2 = model1.P, model2.P
-    # NOTE: unmatched g2 columns use model1.P (reference parity,
-    # GraphAlign.h:591)
-    _unify(nodes, m1, m2, matched, mapping1, mapping2,
-           col1=lambda i: P1 @ g1.sites[i],
-           col2=lambda i: P1 @ g2.sites[i],
-           col_match=lambda k1, k2: (P1 @ g1.sites[k1]) * (P2 @ g2.sites[k2]))
-    # ...but mapped single-sided g2 columns use model2.P (GraphAlign.h:612)
-    # fix up: re-emit those columns
-    for j in range(len(m1)):
-        if matched[j] and m1[j] == -1 and m2[j] != -1:
-            nodes[j] = _norm_or_zero(P2 @ g2.sites[m2[j]])
+    nodes_arr = None
+    use_native = getattr(options, "engine", "auto") in ("auto", "native")
+    if use_native:
+        from .. import native
+        u = native.unify_native(0, mapping1, mapping2, g1.sites, g2.sites,
+                                P1, P2)
+        if u is not None:
+            nodes_arr, m1a, m2a, matched_a = u
+            m1 = m1a.tolist()
+            m2 = m2a.tolist()
+            matched = matched_a.tolist()
+    if nodes_arr is None:
+        # NOTE: unmatched g2 columns use model1.P (reference parity,
+        # GraphAlign.h:591)
+        _unify(nodes, m1, m2, matched, mapping1, mapping2,
+               col1=lambda i: P1 @ g1.sites[i],
+               col2=lambda i: P1 @ g2.sites[i],
+               col_match=lambda k1, k2: (P1 @ g1.sites[k1])
+                                        * (P2 @ g2.sites[k2]))
+        # ...but mapped single-sided g2 columns use model2.P
+        # (GraphAlign.h:612) — fix up: re-emit those columns
+        for j in range(len(m1)):
+            if matched[j] and m1[j] == -1 and m2[j] != -1:
+                nodes[j] = _norm_or_zero(P2 @ g2.sites[m2[j]])
+        nodes_arr = np.array(nodes)
 
     inv1 = _inverse_mapping(m1, g1.size)
     inv2 = _inverse_mapping(m2, g2.size)
@@ -193,20 +207,20 @@ def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,
     up1 = f32(-LOG(asp + (1.0 - asp) * (1.0 - support1)))
     up2 = f32(-LOG(asp + (1.0 - asp) * (1.0 - support2)))
 
-    if getattr(options, "engine", "auto") in ("auto", "native"):
+    if use_native:
         from .. import native
         res = native.merge_edges_native(m1, m2, matched, g1, inv1, g2, inv2,
                                         up1, up2, True)
         if res is not None:
-            graph = _graph_from_edge_arrays(np.array(nodes), res)
+            graph = _graph_from_edge_arrays(nodes_arr, res)
             return AncestralResult(graph=graph, mapping1=m1, mapping2=m2,
                                    is_matched=matched)
 
-    _homologous_path_edges(edges, m1, m2, matched, len(nodes))
+    _homologous_path_edges(edges, m1, m2, matched, len(nodes_arr))
     _readd_edges(edges, repeats, g1, inv1, matched, up1)
     _readd_edges(edges, repeats, g2, inv2, matched, up2)
 
-    graph = Graph.from_maps(np.array(nodes), edges, repeats)
+    graph = Graph.from_maps(nodes_arr, edges, repeats)
     return AncestralResult(graph=graph, mapping1=m1, mapping2=m2,
                            is_matched=matched)
 
@@ -224,27 +238,37 @@ def merge_graphs_incremental(anc_graph: Graph, graph: Graph, anc_mapping,
     matched: List[bool] = []
 
     P = model.P
-    _unify(nodes, m1, m2, matched, anc_mapping, mapping,
-           col1=lambda i: anc_graph.sites[i],
-           col2=lambda i: P @ graph.sites[i],
-           col_match=lambda k1, k2: anc_graph.sites[k1] * (P @ graph.sites[k2]))
+    from .. import native
+    nodes_arr = None
+    u = native.unify_native(1, anc_mapping, mapping, anc_graph.sites,
+                            graph.sites, P, P)
+    if u is not None:
+        nodes_arr, m1a, m2a, matched_a = u
+        m1 = m1a.tolist()
+        m2 = m2a.tolist()
+        matched = matched_a.tolist()
+    if nodes_arr is None:
+        _unify(nodes, m1, m2, matched, anc_mapping, mapping,
+               col1=lambda i: anc_graph.sites[i],
+               col2=lambda i: P @ graph.sites[i],
+               col_match=lambda k1, k2: anc_graph.sites[k1]
+                                        * (P @ graph.sites[k2]))
+        nodes_arr = np.array(nodes)
 
     inv1 = _inverse_mapping(m1, anc_graph.size)
     inv2 = _inverse_mapping(m2, graph.size)
 
-    res = None
-    from .. import native
     res = native.merge_edges_native(m1, m2, matched, anc_graph, inv1,
                                     graph, inv2, 0.0, 0.0, False)
     if res is not None:
-        g = _graph_from_edge_arrays(np.array(nodes), res)
+        g = _graph_from_edge_arrays(nodes_arr, res)
         return AncestralResult(graph=g, mapping1=m1, mapping2=m2,
                                is_matched=matched)
 
-    _homologous_path_edges(edges, m1, m2, matched, len(nodes))
+    _homologous_path_edges(edges, m1, m2, matched, len(nodes_arr))
     _readd_edges(edges, repeats, anc_graph, inv1, matched, None)
     _readd_edges(edges, repeats, graph, inv2, matched, None)
 
-    g = Graph.from_maps(np.array(nodes), edges, repeats)
+    g = Graph.from_maps(nodes_arr, edges, repeats)
     return AncestralResult(graph=g, mapping1=m1, mapping2=m2,
                            is_matched=matched)

@@ -86,6 +86,13 @@ def lib():
         L.gc_clean_graph.argtypes = [i32, i32, pi32, pf32, pu8, pi32, f32,
                                      pi32, pi32, pi32, pf32, pi32_1,
                                      pi32, pi32, pi32, pi32_1]
+        pf64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        pvoid = ctypes.c_void_p
+        L.gc_unify.restype = i32
+        L.gc_unify.argtypes = [pvoid, pvoid, i32, i32, i32, i32, pi32, pi32,
+                               pf64, pf64, pf64, pf64, pf64, pi32, pi32,
+                               np.ctypeslib.ndpointer(np.uint8,
+                                                      flags="C_CONTIGUOUS")]
         L.gc_merge_edges.restype = None
         L.gc_merge_edges.argtypes = [i32, pi32, pi32, pu8,
                                      i32, i32, pi32, pf32, pu8, pi32, pi32,
@@ -99,6 +106,114 @@ def lib():
 
 def available() -> bool:
     return lib() is not None
+
+
+# ----------------------------------------------------------------------
+# BLAS handles for gc_unify: the evolved-profile matvecs and column norms
+# must be bit-identical to numpy's `P @ x` / `np.linalg.norm`, so we hand
+# the C++ kernel raw pointers to the *same* cblas_dgemv / cblas_ddot inside
+# numpy's own BLAS shared object — and prove bitwise equality on random
+# data before enabling it (any mismatch disables the native unify; callers
+# fall back to the numpy loop).
+_blas = None
+_blas_tried = False
+
+
+def _resolve_blas():
+    import glob
+
+    np_dir = os.path.dirname(np.__file__)
+    cands = (glob.glob(os.path.join(np_dir, "..", "numpy.libs", "*.so*"))
+             + glob.glob(os.path.join(np_dir, ".libs", "*.so*")))
+    for path in cands:
+        base = os.path.basename(path)
+        if "blas" not in base.lower() and "lapack" not in base.lower():
+            continue
+        try:
+            B = ctypes.CDLL(path)
+        except OSError:
+            continue
+        for gemv_name, ddot_name, blas64 in (
+                ("scipy_cblas_dgemv64_", "scipy_cblas_ddot64_", 1),
+                ("cblas_dgemv64_", "cblas_ddot64_", 1),
+                ("cblas_dgemv", "cblas_ddot", 0)):
+            gemv = getattr(B, gemv_name, None)
+            ddot = getattr(B, ddot_name, None)
+            if gemv is None or ddot is None:
+                continue
+            bint = ctypes.c_int64 if blas64 else ctypes.c_int32
+            pd = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            gemv.restype = None
+            gemv.argtypes = [ctypes.c_int32, ctypes.c_int32, bint, bint,
+                             ctypes.c_double, pd, bint, pd, bint,
+                             ctypes.c_double, pd, bint]
+            ddot.restype = ctypes.c_double
+            ddot.argtypes = [bint, pd, bint, pd, bint]
+            # bitwise self-test vs numpy
+            rng = np.random.default_rng(12345)
+            ok = True
+            for dim in (4, 20, 64):
+                for _ in range(8):
+                    P = rng.random((dim, dim))
+                    x = rng.random(dim)
+                    y = np.zeros(dim)
+                    gemv(101, 111, dim, dim, 1.0, P, dim, x, 1, 0.0, y, 1)
+                    if not np.array_equal(y, P @ x):
+                        ok = False
+                    if np.float64(np.sqrt(ddot(dim, x, 1, x, 1))) \
+                            != np.linalg.norm(x):
+                        ok = False
+            if not ok:
+                continue
+            return (ctypes.cast(gemv, ctypes.c_void_p),
+                    ctypes.cast(ddot, ctypes.c_void_p), blas64, B)
+    return None
+
+
+def _blas_ptrs():
+    global _blas, _blas_tried
+    if _blas is not None or _blas_tried:
+        return _blas
+    with _lock:
+        if _blas is not None or _blas_tried:
+            return _blas
+        _blas_tried = True
+        try:
+            _blas = _resolve_blas()
+        except Exception:
+            _blas = None
+        return _blas
+
+
+def unify_native(mode, mapping1, mapping2, sites1, sites2, P1, P2):
+    """Native _unify (+ the merge-mode model2.P fixup): returns
+    (nodes [n,dim] float64, m1, m2, matched) or None when unavailable.
+    mode 0 = merge_graphs, 1 = merge_graphs_incremental."""
+    L = lib()
+    if L is None:
+        return None
+    blas = _blas_ptrs()
+    if blas is None:
+        return None
+    gemv, ddot, blas64, _ = blas
+    dim = sites1.shape[1]
+    map1 = np.asarray(mapping1, dtype=np.int32)
+    map2 = np.asarray(mapping2, dtype=np.int32)
+    cap = sites1.shape[0] + sites2.shape[0] + 2
+    nodes = np.empty((cap, dim), dtype=np.float64)
+    m1 = np.empty(cap, dtype=np.int32)
+    m2 = np.empty(cap, dtype=np.int32)
+    matched = np.empty(cap, dtype=np.uint8)
+    n = L.gc_unify(gemv, ddot, blas64, dim, mode, map1.shape[0],
+                   map1, map2,
+                   np.ascontiguousarray(sites1, dtype=np.float64),
+                   np.ascontiguousarray(sites2, dtype=np.float64),
+                   np.ascontiguousarray(P1, dtype=np.float64),
+                   np.ascontiguousarray(P2, dtype=np.float64),
+                   nodes, m1, m2, matched)
+    if n < 0:
+        raise AssertionError("error in mapping")
+    return nodes[:n], m1[:n], m2[:n], matched[:n]
 
 
 def n_threads() -> int:

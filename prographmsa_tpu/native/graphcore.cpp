@@ -785,4 +785,131 @@ double gc_average_alignment_length(int32_t n, int32_t E,
     return gc_avg_rec(n - 1, idx, cost, E, cache);
 }
 
+// ---------------------------------------------------------------------
+// Ancestral-profile unification (align/merge.py _unify + the model2.P
+// fixup; GraphAlign.h:569-620).  The evolved profiles P @ sites[i] and the
+// column norms must be bit-identical to numpy's `P @ x` /
+// `np.linalg.norm`, so the caller passes raw function pointers to the
+// *same* cblas_dgemv / cblas_ddot that numpy's BLAS runs (resolved from
+// numpy's own OpenBLAS shared object and self-tested for bitwise equality
+// at load, native/__init__.py).  blas64 selects the blasint width.
+//
+// mode 0 = merge (col1/col2 evolve with P1 — GraphAlign.h:591 quirk —
+// mapped two-sided columns multiply P1@g1 by P2@g2, mapped one-sided g2
+// columns use P2 per GraphAlign.h:612); mode 1 = incremental (ancestor
+// columns copied, child columns evolve with P2).
+typedef void (*cblas_dgemv64_t)(int, int, int64_t, int64_t, double,
+                                const double*, int64_t, const double*,
+                                int64_t, double, double*, int64_t);
+typedef double (*cblas_ddot64_t)(int64_t, const double*, int64_t,
+                                 const double*, int64_t);
+typedef void (*cblas_dgemv32_t)(int, int, int32_t, int32_t, double,
+                                const double*, int32_t, const double*,
+                                int32_t, double, double*, int32_t);
+typedef double (*cblas_ddot32_t)(int32_t, const double*, int32_t,
+                                 const double*, int32_t);
+
+namespace {
+struct BlasFns {
+  void* gemv;
+  void* ddot;
+  int blas64;
+  int dim;
+  void matvec(const double* P, const double* x, double* y) const {
+    // numpy `P @ x`: cblas_dgemv(RowMajor=101, NoTrans=111, dim, dim,
+    // 1.0, P, dim, x, 1, 0.0, y, 1)
+    if (blas64)
+      ((cblas_dgemv64_t)gemv)(101, 111, dim, dim, 1.0, P, dim, x, 1, 0.0,
+                              y, 1);
+    else
+      ((cblas_dgemv32_t)gemv)(101, 111, dim, dim, 1.0, P, dim, x, 1, 0.0,
+                              y, 1);
+  }
+  double dot(const double* x) const {
+    if (blas64) return ((cblas_ddot64_t)ddot)(dim, x, 1, x, 1);
+    return ((cblas_ddot32_t)ddot)(dim, x, 1, x, 1);
+  }
+};
+
+// _norm_or_zero: divide by sqrt(x.x) unless the norm is exactly zero
+// (NaN norms divide, matching `n == 0` being false for NaN in Python).
+static inline void norm_or_zero(const BlasFns& B, double* v) {
+  double n = sqrt(B.dot(v));
+  if (n != 0.0)
+    for (int k = 0; k < B.dim; ++k) v[k] /= n;
+}
+}  // namespace
+
+int32_t gc_unify(void* gemv_fn, void* ddot_fn, int32_t blas64, int32_t dim,
+                 int32_t mode, int32_t nmap, const int32_t* map1,
+                 const int32_t* map2, const double* sites1,
+                 const double* sites2, const double* P1, const double* P2,
+                 double* nodes, int32_t* out_m1, int32_t* out_m2,
+                 uint8_t* out_matched) {
+  BlasFns B{gemv_fn, ddot_fn, blas64, dim};
+  std::vector<double> tmp(dim);
+  int32_t out = 0;
+  int32_t i1 = 0, i2 = 0;
+#define EMIT(m1v, m2v, mv) \
+  do { out_m1[out] = (m1v); out_m2[out] = (m2v); out_matched[out] = (mv); \
+       ++out; } while (0)
+
+  // unmatched g1 column i (merge: P1 @ g1[i]; incremental: copy)
+  auto col1 = [&](int32_t i, double* v) {
+    if (mode == 0) B.matvec(P1, sites1 + (int64_t)i * dim, v);
+    else memcpy(v, sites1 + (int64_t)i * dim, dim * sizeof(double));
+  };
+  // unmatched / mapped-one-sided g2 column (merge unmatched: P1 quirk;
+  // merge mapped one-sided: P2 — the Python fixup loop, folded in here;
+  // incremental: P2)
+  auto col2 = [&](int32_t i, const double* P, double* v) {
+    B.matvec(P, sites2 + (int64_t)i * dim, v);
+  };
+
+  for (int32_t j = 0; j < nmap; ++j) {
+    const int32_t k1 = map1[j];
+    const int32_t k2 = map2[j];
+    if (k1 != -1) {
+      while (i1 != k1) {
+        double* v = nodes + (int64_t)out * dim;
+        col1(i1, v);
+        norm_or_zero(B, v);
+        EMIT(i1, -1, 0);
+        ++i1;
+      }
+      ++i1;
+    }
+    if (k2 != -1) {
+      while (i2 != k2) {
+        double* v = nodes + (int64_t)out * dim;
+        col2(i2, mode == 0 ? P1 : P2, v);
+        norm_or_zero(B, v);
+        EMIT(-1, i2, 0);
+        ++i2;
+      }
+      ++i2;
+    }
+    double* v = nodes + (int64_t)out * dim;
+    if (k1 != -1 && k2 != -1) {
+      col1(k1, v);
+      col2(k2, P2, tmp.data());
+      for (int32_t k = 0; k < dim; ++k) v[k] *= tmp[k];
+      norm_or_zero(B, v);
+      EMIT(k1, k2, 1);
+    } else if (k1 != -1) {
+      col1(k1, v);
+      norm_or_zero(B, v);
+      EMIT(k1, -1, 1);
+    } else if (k2 != -1) {
+      col2(k2, P2, v);
+      norm_or_zero(B, v);
+      EMIT(-1, k2, 1);
+    } else {
+      return -1;  // "error in mapping"
+    }
+  }
+#undef EMIT
+  return out;
+}
+
 }  // extern "C"
