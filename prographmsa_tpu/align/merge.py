@@ -155,13 +155,9 @@ def _graph_from_edge_arrays(nodes: np.ndarray, arrs) -> Graph:
     sites = nodes.astype(np.float64).copy()
     sites[0] = 0.0
     sites[n - 1] = 0.0
-    preds: List[List] = [[] for _ in range(n)]
-    reps: List[List] = [[] for _ in range(n)]
-    for y, x, c in zip(e_to.tolist(), e_from.tolist(), e_cost):
-        preds[y].append((x, c))
-    for y, x, u in zip(r_to.tolist(), r_from.tolist(), r_units.tolist()):
-        reps[y].append((x, u))
-    return Graph(sites, preds, reps)
+    from ..graph.graph import padded_from_edges
+    return Graph.from_padded(sites, *padded_from_edges(
+        n, e_to, e_from, e_cost, r_to, r_from, r_units))
 
 
 def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,

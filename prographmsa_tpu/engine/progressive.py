@@ -76,26 +76,22 @@ def extend_alignment(result, mapping, aligned_sequences, gap_code):
     """Gap-extend descendant sequences through the merged graph
     (ProgressiveAlignment.h:245-264)."""
     n = result.graph.size
-    for name, original in aligned_sequences.items():
+    hit = np.asarray(mapping[1:n - 1]) != -1
+    k = int(np.count_nonzero(hit))   # trailing originals beyond the last
+    for name, original in aligned_sequences.items():   # mapped column drop
         extended = np.full(n - 2, gap_code, dtype=np.int16)
-        k = 0
-        for j in range(1, n - 1):
-            if mapping[j] != -1:
-                extended[j - 1] = original[k]
-                k += 1
+        extended[hit] = original[:k]
         result.aligned_sequences[name] = extended
 
 
 def extend_tr_homologies(result, mapping, tr_homologies, tr_source):
     """ProgressiveAlignment.h:266-287."""
     n = result.graph.size
+    hit = np.asarray(mapping[1:n - 1]) != -1
+    k = int(np.count_nonzero(hit))
     for original, source in zip(tr_homologies, tr_source):
         extended = np.full(n - 2, -1, dtype=np.int64)
-        k = 0
-        for j in range(1, n - 1):
-            if mapping[j] != -1:
-                extended[j - 1] = original[k]
-                k += 1
+        extended[hit] = original[:k]
         result.tr_homologies.append(extended)
         result.tr_source.append(source)
 

@@ -43,15 +43,73 @@ def quantize_cost(cost) -> np.float32:
 
 
 class Graph:
-    __slots__ = ("sites", "preds", "reps", "_pad_cache")
+    __slots__ = ("sites", "_preds", "_reps", "_pad_cache")
 
     def __init__(self, sites: np.ndarray,
                  preds: List[List[Tuple[int, np.float32]]],
                  reps: List[List[Tuple[int, int]]]):
         self.sites = sites          # [n, DIM] float64
-        self.preds = preds          # per-node [(pred, cost_f32)] ascending
-        self.reps = reps            # per-node [(pred, units)] ascending
+        self._preds = preds         # per-node [(pred, cost_f32)] ascending
+        self._reps = reps           # per-node [(pred, units)] ascending
         self._pad_cache = None      # memoized padded() export
+
+    # The edge lists and the padded arrays are dual views; graphs built by
+    # the native kernels carry only the padded arrays and materialize the
+    # lists lazily (cold paths: Python DP fallbacks, find-root, output).
+    @property
+    def preds(self):
+        if self._preds is None:
+            self._materialize_lists()
+        return self._preds
+
+    @preds.setter
+    def preds(self, value):
+        if self._reps is None and self._pad_cache is not None:
+            self._materialize_lists()   # keep the reps view alive
+        self._preds = value
+        self._pad_cache = None
+
+    @property
+    def reps(self):
+        if self._reps is None:
+            self._materialize_lists()
+        return self._reps
+
+    @reps.setter
+    def reps(self, value):
+        if self._preds is None and self._pad_cache is not None:
+            self._materialize_lists()   # keep the preds view alive
+        self._reps = value
+        self._pad_cache = None
+
+    def _materialize_lists(self) -> None:
+        idx, cost, isrep, units = self._pad_cache
+        n, E = idx.shape
+        preds: List[List] = [[] for _ in range(n)]
+        reps: List[List] = [[] for _ in range(n)]
+        il, cl, rl, ul = idx.tolist(), cost, isrep.tolist(), units.tolist()
+        for i in range(n):
+            row = il[i]
+            for k in range(E):
+                p = row[k]
+                if p < 0:
+                    continue
+                if rl[i][k]:
+                    reps[i].append((p, ul[i][k]))
+                else:
+                    preds[i].append((p, cl[i, k]))
+        self._preds = preds
+        self._reps = reps
+
+    @classmethod
+    def from_padded(cls, sites: np.ndarray, idx, cost, isrep, units
+                    ) -> "Graph":
+        """Graph whose primary representation is the padded arrays (slot
+        layout per row: normal edges ascending, then repeat edges
+        ascending — the PredIterator order)."""
+        g = cls(sites, None, None)
+        g._pad_cache = (idx, cost, isrep, units)
+        return g
 
     # ------------------------------------------------------------------
     @property
@@ -76,11 +134,12 @@ class Graph:
         dim = profile.shape[1]
         sites = np.zeros((n, dim), dtype=np.float64)
         sites[1:n - 1] = profile
-        preds = [[] for _ in range(n)]
-        for i in range(1, n):
-            preds[i].append((i - 1, np.float32(0.0)))
-        reps = [[] for _ in range(n)]
-        return cls(sites, preds, reps)
+        idx = np.arange(-1, n - 1, dtype=np.int32).reshape(n, 1)
+        cost = np.zeros((n, 1), dtype=np.float32)
+        cost[0, 0] = np.inf
+        return cls.from_padded(sites, idx, cost,
+                               np.zeros((n, 1), dtype=bool),
+                               np.zeros((n, 1), dtype=np.int32))
 
     @classmethod
     def from_maps(cls, nodes: np.ndarray,
@@ -129,6 +188,15 @@ class Graph:
         repeat_map: Dict[Tuple[int, int], int] = {}
         for tr in tr_homologies:
             _repeat_edges(repeat_map, tr)
+        if not repeat_map:
+            # no repeat edges to overlay; keep the pad cache iff it already
+            # has none (the common leaf-merge case)
+            if self._pad_cache is not None and not self._pad_cache[2].any():
+                if self._reps is not None:
+                    self._reps = [[] for _ in range(self.size)]
+                return
+            if self._reps is not None and not any(self._reps):
+                return
         reps: List[List[Tuple[int, int]]] = [[] for _ in range(self.size)]
         for (to, frm) in sorted(repeat_map):
             units = repeat_map[(to, frm)]
@@ -198,6 +266,33 @@ class Graph:
         return self._pad_cache
 
 
+def padded_from_edges(n: int, e_to, e_from, e_cost, r_to, r_from, r_units):
+    """Vectorized padded-array construction from (to, from)-sorted edge
+    arrays (the native kernels' output format): normal edges fill the
+    leading slots of each row ascending, repeat edges follow — the same
+    slot layout ``Graph.padded()`` derives from the lists."""
+    cnt_e = np.bincount(e_to, minlength=n)
+    cnt_r = np.bincount(r_to, minlength=n) if len(r_to) else np.zeros(
+        n, dtype=np.int64)
+    E = max(1, int((cnt_e + cnt_r).max()))
+    idx = np.full((n, E), -1, dtype=np.int32)
+    cost = np.full((n, E), np.inf, dtype=np.float32)
+    isrep = np.zeros((n, E), dtype=bool)
+    units = np.zeros((n, E), dtype=np.int32)
+    if len(e_to):
+        pos = np.arange(len(e_to)) - np.repeat(np.cumsum(cnt_e) - cnt_e,
+                                               cnt_e)
+        idx[e_to, pos] = e_from
+        cost[e_to, pos] = e_cost
+    if len(r_to):
+        pos = (np.arange(len(r_to))
+               - np.repeat(np.cumsum(cnt_r) - cnt_r, cnt_r) + cnt_e[r_to])
+        idx[r_to, pos] = r_from
+        isrep[r_to, pos] = True
+        units[r_to, pos] = r_units
+    return idx, cost, isrep, units
+
+
 def _repeat_edges(repeat_map: Dict[Tuple[int, int], int],
                   tr_homology: np.ndarray, offset: int = 0) -> None:
     """Graph::getRepeatEdges (Graph.h:48-79): convert a per-node repeat-unit
@@ -243,6 +338,16 @@ def clean_graph(graph: Graph, options):
     n = graph.size
     repeat_ext = INF if options.repeatext_prob == 0 else np.float32(0.0)
 
+    # Fast path: a repeat-free linear chain with finite costs cleans to
+    # itself (every node lies on the unique start->end path, ascending
+    # order and costs preserved by CleanedGraph.h:96-132).
+    pidx, pcost, pisrep, _ = graph.padded()
+    if (pidx.shape[1] == 1 and not pisrep.any()
+            and np.array_equal(pidx[:, 0],
+                               np.arange(-1, n - 1, dtype=np.int32))
+            and np.isfinite(pcost[1:, 0]).all()):
+        return graph, np.arange(n, dtype=np.int64)
+
     if getattr(options, "engine", "auto") in ("auto", "native"):
         from .. import native
         res = native.clean_graph_native(graph, repeat_ext)
@@ -252,15 +357,11 @@ def clean_graph(graph: Graph, options):
             sites = graph.sites[keep].copy()
             sites_order = np.argsort(mapping[keep], kind="stable")
             sites = sites[sites_order]
-            preds = [[] for _ in range(new_dim)]
-            reps = [[] for _ in range(new_dim)]
-            for y, x, c in zip(e_to.tolist(), e_from.tolist(), e_cost):
-                preds[y].append((x, c))
-            for y, x, u in zip(r_to.tolist(), r_from.tolist(),
-                               r_units.tolist()):
-                reps[y].append((x, u))
+            cleaned = Graph.from_padded(
+                sites, *padded_from_edges(new_dim, e_to, e_from, e_cost,
+                                          r_to, r_from, r_units))
             outmapping = np.flatnonzero(keep).astype(np.int64)[sites_order]
-            return Graph(sites, preds, reps), outmapping
+            return cleaned, outmapping
 
     marked_fw = np.zeros(n, dtype=bool)
     marked_bw = np.zeros(n, dtype=bool)

@@ -259,9 +259,7 @@ def backtrack_native(g1, g2, dp, scores):
     L = lib()
     if L is None:
         return None
-    if any(g1.reps[i] for i in range(g1.size)):
-        return None
-    if any(g2.reps[i] for i in range(g2.size)):
+    if g1.padded()[2].any() or g2.padded()[2].any():
         return None
     from ..align.dp import _padded_with_repeat_costs
     from ..align.backtrack import AlignmentResult
@@ -316,14 +314,12 @@ def average_alignment_length_native(graph):
     n = graph.size
     if n == 0:
         return 0.0
-    E = max(1, max((len(p) for p in graph.preds), default=1))
-    idx = np.full((n, E), -1, dtype=np.int32)
-    cost = np.full((n, E), np.inf, dtype=np.float32)
-    for i, plist in enumerate(graph.preds):
-        for k, (p, c) in enumerate(plist):
-            idx[i, k] = p
-            cost[i, k] = c
-    return float(L.gc_average_alignment_length(n, E, idx, cost))
+    # padded() keeps +inf cost on repeat slots, which gc_average_alignment_
+    # length already treats as "no edge" — so the cache is reusable as-is.
+    idx, cost, _, _ = graph.padded()
+    return float(L.gc_average_alignment_length(n, idx.shape[1],
+                                               np.ascontiguousarray(idx),
+                                               np.ascontiguousarray(cost)))
 
 
 def clean_graph_native(graph, repeat_ext):
