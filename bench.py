@@ -76,11 +76,15 @@ def main():
         return orig(g1, g2, model, options)
 
     do_align(seqs, opts)                       # warm (imports, native build)
-    prog.align_graphs = spy
-    t0 = time.perf_counter()
+    prog.align_graphs = spy                    # capture workloads (untimed)
     aligned, all_trees = do_align(seqs, opts)
-    our_e2e = time.perf_counter() - t0
     prog.align_graphs = orig
+    walls = []
+    for _ in range(3):                         # timed: clean production runs
+        t0 = time.perf_counter()
+        aligned, all_trees = do_align(seqs, opts)
+        walls.append(time.perf_counter() - t0)
+    our_e2e = sorted(walls)[1]
     detail["our_e2e_wall_s"] = round(our_e2e, 4)
 
     # ---- reference binary, same run

@@ -59,9 +59,12 @@ def lib():
 
         i32 = ctypes.c_int32
         f32 = ctypes.c_float
-        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        # Arrays cross as raw data pointers (wrappers pass arr.ctypes.data
+        # of freshly-made contiguous arrays) — ndpointer's per-call
+        # flag/dtype validation was ~20% of small-kernel call cost.
+        pi32 = ctypes.c_void_p
+        pi64 = ctypes.c_void_p
+        pf32 = ctypes.c_void_p
         pf32_1 = ctypes.POINTER(ctypes.c_float)
 
         L.gc_fill_dp.restype = None
@@ -80,19 +83,18 @@ def lib():
                                            pf32, f32, pf32]
         L.gc_average_alignment_length.restype = ctypes.c_double
         L.gc_average_alignment_length.argtypes = [i32, i32, pi32, pf32]
-        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        pu8 = ctypes.c_void_p
         pi32_1 = ctypes.POINTER(ctypes.c_int32)
         L.gc_clean_graph.restype = i32
         L.gc_clean_graph.argtypes = [i32, i32, pi32, pf32, pu8, pi32, f32,
                                      pi32, pi32, pi32, pf32, pi32_1,
                                      pi32, pi32, pi32, pi32_1]
-        pf64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        pf64 = ctypes.c_void_p
         pvoid = ctypes.c_void_p
         L.gc_unify.restype = i32
         L.gc_unify.argtypes = [pvoid, pvoid, i32, i32, i32, i32, pi32, pi32,
                                pf64, pf64, pf64, pf64, pf64, pi32, pi32,
-                               np.ctypeslib.ndpointer(np.uint8,
-                                                      flags="C_CONTIGUOUS")]
+                               pu8]
         L.gc_merge_edges.restype = None
         L.gc_merge_edges.argtypes = [i32, pi32, pi32, pu8,
                                      i32, i32, pi32, pf32, pu8, pi32, pi32,
@@ -204,16 +206,21 @@ def unify_native(mode, mapping1, mapping2, sites1, sites2, P1, P2):
     m1 = np.empty(cap, dtype=np.int32)
     m2 = np.empty(cap, dtype=np.int32)
     matched = np.empty(cap, dtype=np.uint8)
+    s1 = np.ascontiguousarray(sites1, dtype=np.float64)
+    s2 = np.ascontiguousarray(sites2, dtype=np.float64)
+    p1 = np.ascontiguousarray(P1, dtype=np.float64)
+    p2 = np.ascontiguousarray(P2, dtype=np.float64)
     n = L.gc_unify(gemv, ddot, blas64, dim, mode, map1.shape[0],
-                   map1, map2,
-                   np.ascontiguousarray(sites1, dtype=np.float64),
-                   np.ascontiguousarray(sites2, dtype=np.float64),
-                   np.ascontiguousarray(P1, dtype=np.float64),
-                   np.ascontiguousarray(P2, dtype=np.float64),
-                   nodes, m1, m2, matched)
+                   _d(map1), _d(map2), _d(s1), _d(s2), _d(p1), _d(p2),
+                   _d(nodes), _d(m1), _d(m2), _d(matched))
     if n < 0:
         raise AssertionError("error in mapping")
     return nodes[:n], m1[:n], m2[:n], matched[:n]
+
+
+def _d(a):
+    """Raw data pointer of a C-contiguous array (argtype c_void_p)."""
+    return a.ctypes.data
 
 
 def n_threads() -> int:
@@ -241,13 +248,15 @@ def fill_dp_native(g1, g2, S, scores):
     W = np.empty((n1, n2), dtype=np.float32)
     Sf = np.ascontiguousarray(S, dtype=np.float32)
     wend = ctypes.c_float()
+    # idx/cost come from Graph.padded() / np.where — always fresh
+    # C-contiguous arrays, so their data pointers are passed directly.
     L.gc_fill_dp(n1, n2, idx1.shape[1], idx2.shape[1],
-                 np.ascontiguousarray(idx1), np.ascontiguousarray(cost1),
-                 np.ascontiguousarray(idx2), np.ascontiguousarray(cost2),
-                 Sf, np.float32(scores.gap_extend), np.float32(scores.gap_init),
+                 _d(idx1), _d(cost1), _d(idx2), _d(cost2),
+                 _d(Sf), np.float32(scores.gap_extend),
+                 np.float32(scores.gap_init),
                  np.float32(scores.start_gap), np.float32(scores.start_init),
                  np.float32(scores.end_match), np.float32(scores.end_gap),
-                 np.float32(scores.end_skip), M, X, Y, W,
+                 np.float32(scores.end_skip), _d(M), _d(X), _d(Y), _d(W),
                  ctypes.byref(wend))
     return DPMatrices(M=M, X=X, Y=Y, W=W, S=Sf,
                       Wend=np.float32(wend.value))
@@ -270,17 +279,15 @@ def backtrack_native(g1, g2, dp, scores):
     cap = n1 + n2 + 4
     map1 = np.empty(cap, dtype=np.int32)
     map2 = np.empty(cap, dtype=np.int32)
+    # dp.S/M/X/Y/W are the contiguous outputs of fill_dp_native
     n = L.gc_backtrack(n1, n2, idx1.shape[1], idx2.shape[1],
-                       np.ascontiguousarray(idx1), np.ascontiguousarray(cost1),
-                       np.ascontiguousarray(idx2), np.ascontiguousarray(cost2),
-                       np.ascontiguousarray(dp.S, dtype=np.float32),
-                       np.ascontiguousarray(dp.M), np.ascontiguousarray(dp.X),
-                       np.ascontiguousarray(dp.Y), np.ascontiguousarray(dp.W),
+                       _d(idx1), _d(cost1), _d(idx2), _d(cost2),
+                       _d(dp.S), _d(dp.M), _d(dp.X), _d(dp.Y), _d(dp.W),
                        np.float32(dp.Wend), np.float32(scores.gap_extend),
                        np.float32(scores.gap_init),
                        np.float32(scores.end_match),
                        np.float32(scores.end_gap),
-                       np.float32(scores.end_skip), map1, map2)
+                       np.float32(scores.end_skip), _d(map1), _d(map2))
     if n < 0:
         return None
     return AlignmentResult(score=dp.Wend, n_tr_indels=0,
@@ -300,8 +307,8 @@ def precompute_scores_native(g1, g2, model, match_init):
     pi = np.ascontiguousarray(model.pi, dtype=np.float32)
     n1, n2 = g1.size, g2.size
     S = np.empty((n1, n2), dtype=np.float32)
-    L.gc_precompute_scores(n1, n2, M.shape[0], g1s, g2s, M, pi,
-                           np.float32(match_init), S)
+    L.gc_precompute_scores(n1, n2, M.shape[0], _d(g1s), _d(g2s), _d(M),
+                           _d(pi), np.float32(match_init), _d(S))
     return S
 
 
@@ -318,8 +325,7 @@ def average_alignment_length_native(graph):
     # length already treats as "no edge" — so the cache is reusable as-is.
     idx, cost, _, _ = graph.padded()
     return float(L.gc_average_alignment_length(n, idx.shape[1],
-                                               np.ascontiguousarray(idx),
-                                               np.ascontiguousarray(cost)))
+                                                _d(idx), _d(cost)))
 
 
 def clean_graph_native(graph, repeat_ext):
@@ -342,12 +348,12 @@ def clean_graph_native(graph, repeat_ext):
     r_units = np.empty(cap, dtype=np.int32)
     ne = ctypes.c_int32()
     nr = ctypes.c_int32()
+    # padded() arrays are contiguous; bool has uint8 memory layout
     new_dim = L.gc_clean_graph(
-        n, E, np.ascontiguousarray(idx), np.ascontiguousarray(cost),
-        np.ascontiguousarray(isrep, dtype=np.uint8),
-        np.ascontiguousarray(units), np.float32(repeat_ext),
-        mapping, e_to, e_from, e_cost, ctypes.byref(ne),
-        r_to, r_from, r_units, ctypes.byref(nr))
+        n, E, _d(idx), _d(cost), _d(isrep), _d(units),
+        np.float32(repeat_ext),
+        _d(mapping), _d(e_to), _d(e_from), _d(e_cost), ctypes.byref(ne),
+        _d(r_to), _d(r_from), _d(r_units), ctypes.byref(nr))
     assert new_dim >= 0, "clean_graph reachability invariant"
     ne, nr = ne.value, nr.value
     return (mapping, new_dim, e_to[:ne], e_from[:ne], e_cost[:ne],
@@ -378,21 +384,17 @@ def merge_edges_native(m1, m2, matched, g1, inv1, g2, inv2,
     r_units = np.empty(cap, dtype=np.int32)
     ne = ctypes.c_int32()
     nr = ctypes.c_int32()
+    inv1a = np.ascontiguousarray(inv1, dtype=np.int32)
+    inv2a = np.ascontiguousarray(inv2, dtype=np.int32)
     L.gc_merge_edges(
-        n_nodes, m1a, m2a, ma,
-        g1.size, idx1.shape[1], np.ascontiguousarray(idx1),
-        np.ascontiguousarray(cost1),
-        np.ascontiguousarray(isrep1, dtype=np.uint8),
-        np.ascontiguousarray(units1),
-        np.ascontiguousarray(inv1, dtype=np.int32),
-        g2.size, idx2.shape[1], np.ascontiguousarray(idx2),
-        np.ascontiguousarray(cost2),
-        np.ascontiguousarray(isrep2, dtype=np.uint8),
-        np.ascontiguousarray(units2),
-        np.ascontiguousarray(inv2, dtype=np.int32),
+        n_nodes, _d(m1a), _d(m2a), _d(ma),
+        g1.size, idx1.shape[1], _d(idx1), _d(cost1), _d(isrep1), _d(units1),
+        _d(inv1a),
+        g2.size, idx2.shape[1], _d(idx2), _d(cost2), _d(isrep2), _d(units2),
+        _d(inv2a),
         np.float32(up1), np.float32(up2), 1 if with_penalty else 0,
-        e_to, e_from, e_cost, ctypes.byref(ne),
-        r_to, r_from, r_units, ctypes.byref(nr))
+        _d(e_to), _d(e_from), _d(e_cost), ctypes.byref(ne),
+        _d(r_to), _d(r_from), _d(r_units), ctypes.byref(nr))
     ne, nr = ne.value, nr.value
     return (e_to[:ne], e_from[:ne], e_cost[:ne],
             r_to[:nr], r_from[:nr], r_units[:nr])
@@ -407,11 +409,13 @@ def nw_counts_native(s1b, s2b, l1, l2, scoring, go, ge, dim):
     B = s1b.shape[0]
     counts = np.zeros((B, dim, dim), dtype=np.int64)
     gaps = np.zeros(B, dtype=np.int32)
+    s1a = np.ascontiguousarray(s1b, dtype=np.int32)
+    l1a = np.ascontiguousarray(l1, dtype=np.int32)
+    s2a = np.ascontiguousarray(s2b, dtype=np.int32)
+    l2a = np.ascontiguousarray(l2, dtype=np.int32)
+    sca = np.ascontiguousarray(scoring, dtype=np.int32)
     L.gc_nw_batch(B, s1b.shape[1], s2b.shape[1],
-                  np.ascontiguousarray(s1b, dtype=np.int32),
-                  np.ascontiguousarray(l1, dtype=np.int32),
-                  np.ascontiguousarray(s2b, dtype=np.int32),
-                  np.ascontiguousarray(l2, dtype=np.int32),
-                  np.ascontiguousarray(scoring, dtype=np.int32),
-                  scoring.shape[0], dim, go, ge, n_threads(), counts, gaps)
+                  _d(s1a), _d(l1a), _d(s2a), _d(l2a), _d(sca),
+                  scoring.shape[0], dim, go, ge, n_threads(),
+                  _d(counts), _d(gaps))
     return counts, gaps

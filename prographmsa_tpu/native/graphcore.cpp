@@ -508,25 +508,35 @@ void gc_precompute_scores(int32_t n1, int32_t n2, int32_t dim,
                           const float* pi,    // [dim]
                           float match_init,
                           float* S) {         // out [n1, n2]
-    // t2 = (M^T . g2)^T accumulated over b (one f32 madd per step)
-    std::vector<float> t2((size_t)n2 * dim, 0.0f);
-    for (int b = 0; b < dim; ++b)
-        for (int j = 0; j < n2; ++j) {
-            float gb = g2s[(size_t)j * dim + b];
-            float* row = &t2[(size_t)j * dim];
-            const float* Mrow = &M[(size_t)b * dim];
-            for (int d = 0; d < dim; ++d)
-                row[d] = row[d] + gb * Mrow[d];
+    // t2 = (M^T . g2)^T accumulated over b (one f32 madd per step).
+    // Layouts are transposed so every inner loop is unit-stride and
+    // auto-vectorizes; the per-element accumulation ORDER (over b, then
+    // over d) is unchanged, so results stay bit-identical.
+    std::vector<float> g2T((size_t)dim * n2);       // [dim, n2]
+    for (int j = 0; j < n2; ++j)
+        for (int b = 0; b < dim; ++b)
+            g2T[(size_t)b * n2 + j] = g2s[(size_t)j * dim + b];
+    std::vector<float> t2T((size_t)dim * n2, 0.0f); // [dim, n2]
+    for (int b = 0; b < dim; ++b) {
+        const float* g2row = &g2T[(size_t)b * n2];
+        for (int d = 0; d < dim; ++d) {
+            float mbd = M[(size_t)b * dim + d];
+            float* t2row = &t2T[(size_t)d * n2];
+            for (int j = 0; j < n2; ++j)
+                t2row[j] = t2row[j] + g2row[j] * mbd;
         }
+    }
     // num accumulated over d
     for (size_t m = 0; m < (size_t)n1 * n2; ++m) S[m] = 0.0f;
-    for (int d = 0; d < dim; ++d)
-        for (int i = 0; i < n1; ++i) {
+    for (int i = 0; i < n1; ++i) {
+        float* Srow = &S[(size_t)i * n2];
+        for (int d = 0; d < dim; ++d) {
             float gd = g1s[(size_t)i * dim + d];
-            float* Srow = &S[(size_t)i * n2];
+            const float* t2row = &t2T[(size_t)d * n2];
             for (int j = 0; j < n2; ++j)
-                Srow[j] = Srow[j] + gd * t2[(size_t)j * dim + d];
+                Srow[j] = Srow[j] + gd * t2row[j];
         }
+    }
     // v = packet dot(g, pi): 4-lane accumulator + predux + scalar tail
     auto packet_dot = [&](const float* A, int n, std::vector<float>& v) {
         int k4 = dim & ~3;
@@ -548,13 +558,18 @@ void gc_precompute_scores(int32_t n1, int32_t n2, int32_t dim,
     for (int i = 0; i < n1; ++i)
         for (int j = 0; j < n2; ++j)
             S[(size_t)i * n2 + j] = S[(size_t)i * n2 + j] / (v1[i] * v2[j]);
-    // ls_log over column-major order; 4-aligned body, scalar tail
+    // ls_log: body/tail split follows the COLUMN-major flat index (the
+    // reference's Eigen traversal), but each element is independent, so we
+    // iterate row-major (contiguous) and derive that index per element.
     size_t total = (size_t)n1 * n2;
     size_t alen = total & ~(size_t)3;
-    for (size_t m = 0; m < total; ++m) {
-        size_t j = m / n1, i = m % n1;      // column-major flat index m
-        float* p = &S[(size_t)i * n2 + j];
-        *p = (m < alen) ? ls_body(*p, match_init) : ls_tail(*p, match_init);
+    for (int i = 0; i < n1; ++i) {
+        float* Srow = &S[(size_t)i * n2];
+        for (int j = 0; j < n2; ++j) {
+            size_t m = (size_t)j * n1 + i;
+            Srow[j] = (m < alen) ? ls_body(Srow[j], match_init)
+                                 : ls_tail(Srow[j], match_init);
+        }
     }
 }
 
