@@ -271,6 +271,12 @@ def padded_from_edges(n: int, e_to, e_from, e_cost, r_to, r_from, r_units):
     arrays (the native kernels' output format): normal edges fill the
     leading slots of each row ascending, repeat edges follow — the same
     slot layout ``Graph.padded()`` derives from the lists."""
+    # The slot arithmetic below requires the edge arrays grouped by
+    # ascending 'to' (ascending 'from' within a group) — both native
+    # producers emit this order; fail loudly on any future producer that
+    # does not, instead of silently mis-wiring slots.
+    assert np.all(np.diff(e_to) >= 0), "edges must be sorted by 'to'"
+    assert np.all(np.diff(r_to) >= 0), "repeat edges must be sorted by 'to'"
     cnt_e = np.bincount(e_to, minlength=n)
     cnt_r = np.bincount(r_to, minlength=n) if len(r_to) else np.zeros(
         n, dtype=np.int64)
@@ -341,6 +347,10 @@ def clean_graph(graph: Graph, options):
     # Fast path: a repeat-free linear chain with finite costs cleans to
     # itself (every node lies on the unique start->end path, ascending
     # order and costs preserved by CleanedGraph.h:96-132).
+    # NOTE: this path ALIASES — the returned Graph *is* the input object
+    # (every other path returns a fresh Graph).  Callers must treat
+    # cleaned graphs as read-only; mutating one here would corrupt the
+    # source graph later consumed by merge_graphs.
     pidx, pcost, pisrep, _ = graph.padded()
     if (pidx.shape[1] == 1 and not pisrep.any()
             and np.array_equal(pidx[:, 0],

@@ -17,8 +17,6 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "graphcore.cpp")
-_SO = os.path.join(_DIR, "graphcore.so")
-
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -27,11 +25,28 @@ _CFLAGS = ["-O3", "-fPIC", "-shared", "-ffp-contract=off", "-std=c++17",
            "-march=native"]
 
 
-def _build() -> bool:
-    cmd = ["g++", *_CFLAGS, "-o", _SO + ".tmp", _SRC, "-lpthread"]
+def _so_path() -> str:
+    """Build artifact path in a gitignored cache dir, keyed by a content
+    hash of the source + flags (a checkout never carries a stale or
+    wrong-arch binary; mtimes are irrelevant)."""
+    import hashlib
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read() + " ".join(_CFLAGS).encode()).hexdigest()
+    cache = os.environ.get("PROGRAPHMSA_NATIVE_CACHE",
+                           os.path.join(_DIR, ".cache"))
+    return os.path.join(cache, "graphcore-%s.so" % h[:16])
+
+
+_SO = None  # resolved lazily in lib()
+
+
+def _build(so: str) -> bool:
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    tmp = so + ".tmp.%d" % os.getpid()
+    cmd = ["g++", *_CFLAGS, "-o", tmp, _SRC, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, so)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -49,10 +64,10 @@ def lib():
         if os.environ.get("PROGRAPHMSA_NATIVE", "1") == "0":
             return None
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                if not _build():
-                    return None
+            global _SO
+            _SO = _so_path()
+            if not os.path.exists(_SO) and not _build(_SO):
+                return None
             L = ctypes.CDLL(_SO)
         except OSError:
             return None
@@ -219,7 +234,13 @@ def unify_native(mode, mapping1, mapping2, sites1, sites2, P1, P2):
 
 
 def _d(a):
-    """Raw data pointer of a C-contiguous array (argtype c_void_p)."""
+    """Raw data pointer of a C-contiguous array (argtype c_void_p).
+
+    NEVER call as ``_d(np.ascontiguousarray(x))`` or with any other inline
+    temporary: the pointer outlives the temporary and becomes a silent
+    use-after-free.  Hoist the array into a local that stays live across
+    the native call."""
+    assert a.flags["C_CONTIGUOUS"], "native kernels need C-contiguous input"
     return a.ctypes.data
 
 
