@@ -37,8 +37,15 @@ def _mk(jnp):
     """Build the jnp implementation once (shared by jit traces)."""
     f32 = jnp.float32
 
+    def fmul(a, b):
+        # An explicitly ROUNDED f32 product: XLA:CPU contracts mul+add
+        # into FMA (skipping the intermediate rounding this algorithm
+        # depends on); the barrier pins the product as a rounded value.
+        # XLA:TPU never contracts (probed), so this is free there.
+        return jax_lax.optimization_barrier(a * b)
+
     def split(a):
-        c = a * _SPLIT
+        c = fmul(a, _SPLIT)
         hi = c - (c - a)
         return hi, a - hi
 
@@ -46,7 +53,8 @@ def _mk(jnp):
         """err such that a*b == p + err exactly (Dekker 2Prod)."""
         ah, al = split(a)
         bh, bl = split(b)
-        return ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return ((fmul(ah, bh) - p) + fmul(ah, bl)
+                + fmul(al, bh)) + fmul(al, bl)
 
     def two_diff(a, b):
         """(s, e): a - b == s + e exactly."""
@@ -69,15 +77,15 @@ def _mk(jnp):
         ys = y / s
 
         def resid(c):
-            pc = c * y
-            ec = prod_err(c * s, ys, pc)
+            pc = fmul(c, y)
+            ec = prod_err(fmul(c, s), ys, pc)
             hi = x - pc                  # exact (Sterbenz)
             sd, e = two_diff(hi, ec)     # exact pair for the compare
             return sd, e
 
         # Newton with exact residual: r0 = x - q0*y
         r0, r0e = resid(q0)
-        q1 = q0 + (r0 + r0e) * (f32(1.0) / y)
+        q1 = q0 + fmul(r0 + r0e, f32(1.0) / y)
 
         bits = jnp.where(q1 > 0, q1, f32(1.0))  # guard bitcast domain
         b = jax_lax.bitcast_convert_type(bits, jnp.uint32)

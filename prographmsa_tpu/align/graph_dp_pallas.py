@@ -1,0 +1,728 @@
+"""Fused Pallas TPU kernel: graph-pair DP fill + in-kernel backtrack.
+
+One launch aligns a graph pair end-to-end on the chip: the anti-diagonal
+wavefront fill (/root/reference/src/GraphAlign.h:201-280) runs with all four
+DP matrices resident in VMEM, then the traceback (GraphAlign.h:283-517) runs
+in the same kernel over those matrices and emits only the two mapping
+vectors — a few KB.  Nothing O(n1*n2) crosses the host link (critical on
+this tunneled TPU, where a fresh device->host fetch costs ~25 ms regardless
+of size), and S is computed on device (align/scores_device.py) so nothing
+O(n1*n2) goes UP either — only the DIM-wide site profiles.
+
+Hardware op selection (probed on the v5e via /tmp/pbisect*.py):
+  * dynamic *sublane writes* (``ref[pl.ds(d,1),:] = row``) work; dynamic
+    sublane *vector reads* hang Mosaic -> row reads go through a ring
+    buffer decoded by chained ``jnp.where`` selects over static rows
+    (exact: pure selection, no arithmetic), and the streamed Sdiag/C2diag
+    rows arrive via explicit double-rate DMA windows (dynamic DMA offsets
+    are supported).
+  * dynamic lane shifts default to bit-decomposed static ``pltpu.roll``;
+    PROGRAPHMSA_PALLAS_DYNROLL=1 switches to a single dynamic roll.
+  * +-inf VMEM operands fault the runtime (round-2 finding) -> finite
+    sentinels: NEG = -1e37 for "unreachable", +1e37 for infinite edge
+    costs.  Cells on any real path get bit-identical f32 values (TPU
+    mul/add round exactly like the host — probed); unreachable cells carry
+    a different "minus infinity" which the backtrack's strict-improvement
+    comparisons never select.
+
+The backtrack replays align/backtrack.py's decision procedure exactly
+(min |stored - candidate| over true edges in PredIterator order, strict
+improvement, W-state resolution order), so mappings are byte-identical to
+the host engines.  A backtrack step that *selects* a repeat edge would need
+markAlternativePath (GraphAlign.h:166-198) — the kernel sets meta[FAIL] and
+the caller reruns that pair on the host path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from .dp import NEG_INF
+from .dp_jax import _offset_costs, _bucket
+
+NEG = np.float32(-1e37)          # finite "-inf" (inf operands fault v5e)
+COST_INF = np.float32(1e37)      # finite "+inf" edge cost
+FLOOR = np.float32(-3e38)        # max-accumulator init (< any candidate)
+BIG = np.float32(3e38)           # min-accumulator init (> any |diff|)
+LANE = 128
+
+ST_M, ST_X, ST_Y = 0, 1, 2       # states, as in align/backtrack.py
+
+META_SCORE, META_LEN, META_FAIL = 0, 1, 2
+
+
+@functools.lru_cache(maxsize=64)
+def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
+                 ring: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = n1p + n2p - 3            # exclusive fill bound (diags 1..D-1)
+    DBv = ((D + 7) // 8) * 8 + 8  # row capacity for streamed inputs/scratch
+    Lmax = n1p + n2p             # mapping capacity (>= path length + 2)
+    R = ring
+    RT = R // 8
+    dynroll = os.environ.get("PROGRAPHMSA_PALLAS_DYNROLL", "0") == "1"
+    NBITS = max(1, (n1p - 1).bit_length())
+    I_N1, I_N2 = o1p + o2p, o1p + o2p + 1
+
+    def kernel(scal_ref,
+               Sdiag_ref,                    # ANY [DBv, n1p] f32
+               C1T_ref,                      # VMEM [o1p, n1p] f32
+               C2diag_ref,                   # ANY [DBv, o2p, n1p] f32
+               E1i_ref, E1c_ref, E1r_ref,    # VMEM [n1p, e1p]
+               E2i_ref, E2c_ref, E2r_ref,    # VMEM [n2p, e2p]
+               par_ref,                      # SMEM [16] f32
+               map1_ref, map2_ref,           # out VMEM [1, Lmax] i32
+               meta_ref,                     # out VMEM [1, 16] f32
+               M_ref, X_ref, Y_ref, W_ref,   # scratch [DBv, n1p] f32
+               SdV_ref,                      # scratch [DBv, n1p] f32
+               ringM, ringX, ringY, ringW):  # scratch [R, n1p] f32
+        f32 = jnp.float32
+        i32 = jnp.int32
+        ge = par_ref[0]
+        gi = par_ref[1]
+        sg = par_ref[2]
+        start_init = par_ref[3]
+        end_match = par_ref[4]
+        end_gap = par_ref[5]
+        end_skip = par_ref[6]
+        n1 = scal_ref[I_N1]
+        n2 = scal_ref[I_N2]
+
+        ys = jax.lax.broadcasted_iota(i32, (1, n1p), 1)
+        lmax_ii = jax.lax.broadcasted_iota(i32, (1, Lmax), 1)
+        negrow = jnp.full((1, n1p), NEG)
+
+        # ---------------- primitives ----------------
+        def ring_row(rg, k, valid):
+            """Ring row at traced slot k; NEG row when not valid.  Two-level
+            chained where-select (dynamic sublane reads hang Mosaic)."""
+            tile = k // 8
+            sub = k - tile * 8
+            acc = rg[0:8, :]
+            for t in range(1, RT):
+                acc = jnp.where(tile == t, rg[8 * t:8 * t + 8, :], acc)
+            row = acc[0:1, :]
+            for r in range(1, 8):
+                row = jnp.where(sub == r, acc[r:r + 1, :], row)
+            return jnp.where(valid, row, negrow)
+
+        def shift_rows(row, o):
+            """row[0, y] -> row[0, y-o], head filled with NEG."""
+            if dynroll:
+                rolled = pltpu.roll(row, o, axis=1)
+            else:
+                rolled = row
+                for bit in range(NBITS):
+                    sh = 1 << bit
+                    rolled = jnp.where((o & sh) != 0,
+                                       pltpu.roll(rolled, sh, axis=1), rolled)
+            return jnp.where(ys >= o, rolled, NEG)
+
+        # ---------------- fill ----------------
+        def _fill_one(d, Sd, C2d):
+            """One diagonal.  Sd [1, n1p]; C2d [o2p, n1p] (costs at lane y
+            = C2[d-y, j])."""
+            xs = d - ys
+            slot = jax.lax.rem(d, R)
+
+            Sm = jnp.full((1, n1p), FLOOR)
+            Sy = jnp.full((1, n1p), FLOOR)
+            SyB = jnp.full((1, n1p), FLOOR)
+            for i in range(o1p):
+                o1i = scal_ref[i]
+                ci = C1T_ref[i:i + 1, :]
+                ki = jax.lax.rem(d - o1i + R, R)
+                vi = d - o1i >= 0
+                w_sh = shift_rows(ring_row(ringW, ki, vi), o1i)
+                y_sh = shift_rows(ring_row(ringY, ki, vi), o1i)
+                Sy = jnp.fmax(Sy, jnp.fmax(y_sh + ge, w_sh + gi) - ci)
+                SyB = jnp.fmax(SyB, jnp.fmax(y_sh + ge, w_sh + sg) - ci)
+                for j in range(o2p):
+                    o2j = scal_ref[o1p + j]
+                    cj = C2d[j:j + 1, :]
+                    kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
+                    vij = d - o1i - o2j >= 0
+                    w2 = shift_rows(ring_row(ringW, kij, vij), o1i)
+                    Sm = jnp.fmax(Sm, ((w2 + Sd) - ci) - cj)
+
+            Sx = jnp.full((1, n1p), FLOOR)
+            SxB = jnp.full((1, n1p), FLOOR)
+            for j in range(o2p):
+                o2j = scal_ref[o1p + j]
+                cj = C2d[j:j + 1, :]
+                kj = jax.lax.rem(d - o2j + R, R)
+                vj = d - o2j >= 0
+                xj = ring_row(ringX, kj, vj)
+                wj = ring_row(ringW, kj, vj)
+                Sx = jnp.fmax(Sx, jnp.fmax(xj + ge, wj + gi) - cj)
+                SxB = jnp.fmax(SxB, jnp.fmax(xj + ge, wj + sg) - cj)
+
+            interior = (ys >= 1) & (ys <= n1 - 2) & (xs >= 1) & (xs <= n2 - 2)
+            b_x0 = (xs == 0) & (ys >= 1) & (ys <= n1 - 2)
+            b_y0 = (ys == 0) & (xs >= 1) & (xs <= n2 - 2)
+
+            Mrow = jnp.where(interior, Sm, NEG)
+            Xrow = jnp.where(interior, Sx, jnp.where(b_y0, SxB, NEG))
+            Yrow = jnp.where(interior, Sy, jnp.where(b_x0, SyB, NEG))
+            Wrow = jnp.where(interior,
+                             jnp.fmax(Mrow, jnp.fmax(Xrow, Yrow)),
+                             jnp.where(b_x0, SyB, jnp.where(b_y0, SxB, NEG)))
+            Mrow = jnp.maximum(Mrow, NEG)   # clamp junk drift toward -3e38
+            Xrow = jnp.maximum(Xrow, NEG)
+            Yrow = jnp.maximum(Yrow, NEG)
+            Wrow = jnp.maximum(Wrow, NEG)
+
+            M_ref[pl.ds(d, 1), :] = Mrow
+            X_ref[pl.ds(d, 1), :] = Xrow
+            Y_ref[pl.ds(d, 1), :] = Yrow
+            W_ref[pl.ds(d, 1), :] = Wrow
+            SdV_ref[pl.ds(d, 1), :] = Sd
+            ringM[pl.ds(slot, 1), :] = Mrow
+            ringX[pl.ds(slot, 1), :] = Xrow
+            ringY[pl.ds(slot, 1), :] = Yrow
+            ringW[pl.ds(slot, 1), :] = Wrow
+
+        # init diagonal 0 (cell (0,0))
+        w0row = jnp.where(ys == 0, start_init, NEG)
+        M_ref[0:1, :] = negrow
+        X_ref[0:1, :] = negrow
+        Y_ref[0:1, :] = negrow
+        W_ref[0:1, :] = w0row
+        SdV_ref[0:1, :] = negrow
+        ringM[0:1, :] = negrow
+        ringX[0:1, :] = negrow
+        ringY[0:1, :] = negrow
+        ringW[0:1, :] = w0row
+
+        def fill_loop(Swin, C2win, sem1, sem2):
+            nblk = (D + 7) // 8
+
+            def blk_body(blk, c):
+                base = blk * 8
+                cp1 = pltpu.make_async_copy(
+                    Sdiag_ref.at[pl.ds(base, 8)], Swin, sem1)
+                cp2 = pltpu.make_async_copy(
+                    C2diag_ref.at[pl.ds(base + 1, 8)], C2win, sem2)
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+                for t in range(8):
+                    d = base + t + 1
+
+                    @pl.when(d < D)
+                    def _():
+                        _fill_one(d, Swin[t:t + 1, :], C2win[t])
+                return c
+
+            jax.lax.fori_loop(0, nblk, blk_body, 0)
+
+        pl.run_scoped(
+            fill_loop,
+            Swin=pltpu.VMEM((8, n1p), jnp.float32),
+            C2win=pltpu.VMEM((8, o2p, n1p), jnp.float32),
+            sem1=pltpu.SemaphoreType.DMA(()),
+            sem2=pltpu.SemaphoreType.DMA(()),
+        )
+
+        # ---------------- backtrack ----------------
+        def mval(y, x):
+            return jnp.where((y == 0) & (x == 0), NEG, M_ref[y + x, y])
+
+        def xval(y, x):
+            return jnp.where((y == 0) & (x == 0), NEG, X_ref[y + x, y])
+
+        def yval(y, x):
+            return jnp.where((y == 0) & (x == 0), NEG, Y_ref[y + x, y])
+
+        def wval(y, x):
+            return jnp.where((y == 0) & (x == 0), start_init,
+                             W_ref[y + x, y])
+
+        def sval(y, x):
+            return SdV_ref[y + x, y]
+
+        def resolve_w(ny, nx):
+            w = wval(ny, nx)
+            m = mval(ny, nx)
+            yy = yval(ny, nx)
+            xx = xval(ny, nx)
+            st = jnp.where(w == m, ST_M, jnp.where(w == yy, ST_Y, ST_X))
+            sc = jnp.where(w == m, m, jnp.where(w == yy, yy, xx))
+            return sc, st.astype(i32)
+
+        # Wend (GraphAlign.h:262-280): pure max — order-free, all finite
+        def end_scan():
+            Wend = f32(FLOOR)
+            for a in range(e1p):
+                yp = E1i_ref[n1 - 1, a]
+                cy = E1c_ref[n1 - 1, a]
+                va = yp >= 0
+                ypc = jnp.maximum(yp, 0)
+                for b in range(e2p):
+                    xp = E2i_ref[n2 - 1, b]
+                    cx = E2c_ref[n2 - 1, b]
+                    vb = va & (xp >= 0)
+                    xpc = jnp.maximum(xp, 0)
+                    both0 = (ypc == 0) & (xpc == 0)
+                    m = mval(ypc, xpc)
+                    yy = yval(ypc, xpc)
+                    xx = xval(ypc, xpc)
+                    cand = jnp.fmax(
+                        jnp.fmax(f32(((xx + end_gap) - cy) - cx),
+                                 f32(((yy + end_gap) - cy) - cx)),
+                        f32(((m + end_match) - cy) - cx))
+                    cand = jnp.where(both0,
+                                     jnp.fmax(cand, f32((end_skip - cy) - cx)),
+                                     cand)
+                    Wend = jnp.where(vb, jnp.fmax(cand, Wend), Wend)
+            return Wend
+
+        Wend = end_scan()
+
+        # end transition (GraphAlign.h:304-353): min |Wend - cand| in
+        # PredIterator order, strict improvement
+        def end_transition():
+            best = f32(BIG)
+            sel_y = i32(0)
+            sel_x = i32(0)
+            sel_state = i32(ST_M)
+            sel_score = f32(NEG)
+            sel_rep = i32(0)
+            for a in range(e1p):
+                yp = E1i_ref[n1 - 1, a]
+                cy = E1c_ref[n1 - 1, a]
+                ra = E1r_ref[n1 - 1, a]
+                va = yp >= 0
+                ypc = jnp.maximum(yp, 0)
+                for b in range(e2p):
+                    xp = E2i_ref[n2 - 1, b]
+                    cx = E2c_ref[n2 - 1, b]
+                    rb = E2r_ref[n2 - 1, b]
+                    vb = va & (xp >= 0)
+                    xpc = jnp.maximum(xp, 0)
+                    m = mval(ypc, xpc)
+                    yy = yval(ypc, xpc)
+                    xx = xval(ypc, xpc)
+                    rep = jnp.where(ra + rb > 0, 1, 0).astype(i32)
+                    for base_val, st in ((m + end_match, ST_M),
+                                         (yy + end_gap, ST_Y),
+                                         (xx + end_gap, ST_X)):
+                        d_ = jnp.abs(f32(Wend - f32((base_val - cy) - cx)))
+                        take = vb & (best > d_)
+                        best = jnp.where(take, d_, best)
+                        sel_y = jnp.where(take, ypc, sel_y)
+                        sel_x = jnp.where(take, xpc, sel_x)
+                        sel_state = jnp.where(take, st, sel_state)
+                        sel_score = jnp.where(
+                            take, jnp.where(st == ST_M, m,
+                                            jnp.where(st == ST_Y, yy, xx)),
+                            sel_score)
+                        sel_rep = jnp.where(take, rep, sel_rep)
+                    both0 = (ypc == 0) & (xpc == 0)
+                    d_ = jnp.abs(f32(Wend - f32((end_skip - cy) - cx)))
+                    take = vb & both0 & (best > d_)
+                    best = jnp.where(take, d_, best)
+                    sel_y = jnp.where(take, ypc, sel_y)
+                    sel_x = jnp.where(take, xpc, sel_x)
+                    sel_rep = jnp.where(take, rep, sel_rep)
+            return sel_y, sel_x, sel_state, sel_score, sel_rep
+
+        y0, x0, st0, sc0, rep0 = end_transition()
+
+        # mapping entries are written in traceback (reverse) order via
+        # full-row where-writes (no scalar VMEM stores needed); host flips
+        map1_ref[0:1, :] = jnp.full((1, Lmax), -2, i32)
+        map2_ref[0:1, :] = jnp.full((1, Lmax), -2, i32)
+
+        def push_row(ref, pos, val, valid):
+            ref[0:1, :] = jnp.where(valid & (lmax_ii == pos), val,
+                                    ref[0:1, :])
+
+        def push(pos, y, x, valid):
+            push_row(map1_ref, pos, y, valid)
+            push_row(map2_ref, pos, x, valid)
+            return jnp.where(valid, pos + 1, pos)
+
+        def push_state(pos, y, x, st, valid):
+            e1 = jnp.where(st == ST_X, -1, y)
+            e2 = jnp.where(st == ST_Y, -1, x)
+            return push(pos, e1, e2, valid)
+
+        pos0 = push(i32(0), n1 - 1, n2 - 1, True)
+        live0 = (x0 != 0) | (y0 != 0)
+        pos1 = push_state(pos0, y0, x0, st0, live0)
+
+        def bt_cond(s):
+            y, x, st, sc, pos, fail, it = s
+            return ((y != 0) | (x != 0)) & (~fail) & (it < Lmax)
+
+        def bt_body(s):
+            # The host resolves the W-state (resolve_w_state) at every
+            # winning candidate, but only the LAST non-origin winner's
+            # resolution survives the step, and resolve is a pure function
+            # of the chosen cell — so it is hoisted to one call after the
+            # candidate scans (n_rw tracks whether the winner needs it).
+            y, x, st, sc, pos, fail, it = s
+            best = f32(BIG)
+            n_y = i32(0)
+            n_x = i32(0)
+            n_st = i32(ST_M)
+            n_sc = f32(NEG)
+            n_rep = i32(0)
+            n_rw = i32(0)
+
+            # STATE_Y (host: backtrack.py:140-155)
+            for a in range(e1p):
+                yp = E1i_ref[y, a]
+                cy = E1c_ref[y, a]
+                ra = E1r_ref[y, a]
+                va = (st == ST_Y) & (yp >= 0) & (cy < COST_INF)
+                ypc = jnp.maximum(yp, 0)
+                yy = yval(ypc, x)
+                ww = wval(ypc, x)
+                d_ = jnp.abs(f32(sc - f32((yy + ge) - cy)))
+                take = va & (best > d_)
+                best = jnp.where(take, d_, best)
+                n_y = jnp.where(take, ypc, n_y)
+                n_x = jnp.where(take, x, n_x)
+                n_st = jnp.where(take, i32(ST_Y), n_st)
+                n_sc = jnp.where(take, yy, n_sc)
+                n_rep = jnp.where(take, ra, n_rep)
+                n_rw = jnp.where(take, i32(0), n_rw)
+                d_ = jnp.abs(f32(sc - f32((ww + gi) - cy)))
+                take = va & (best > d_)
+                best = jnp.where(take, d_, best)
+                n_y = jnp.where(take, ypc, n_y)
+                n_x = jnp.where(take, x, n_x)
+                n_rep = jnp.where(take, ra, n_rep)
+                n_rw = jnp.where(take, i32(1), n_rw)
+
+            # STATE_X (backtrack.py:157-172)
+            for b in range(e2p):
+                xp = E2i_ref[x, b]
+                cx = E2c_ref[x, b]
+                rb = E2r_ref[x, b]
+                vb = (st == ST_X) & (xp >= 0) & (cx < COST_INF)
+                xpc = jnp.maximum(xp, 0)
+                xx = xval(y, xpc)
+                ww = wval(y, xpc)
+                d_ = jnp.abs(f32(sc - f32((xx + ge) - cx)))
+                take = vb & (best > d_)
+                best = jnp.where(take, d_, best)
+                n_y = jnp.where(take, y, n_y)
+                n_x = jnp.where(take, xpc, n_x)
+                n_st = jnp.where(take, i32(ST_X), n_st)
+                n_sc = jnp.where(take, xx, n_sc)
+                n_rep = jnp.where(take, rb, n_rep)
+                n_rw = jnp.where(take, i32(0), n_rw)
+                d_ = jnp.abs(f32(sc - f32((ww + gi) - cx)))
+                take = vb & (best > d_)
+                best = jnp.where(take, d_, best)
+                n_y = jnp.where(take, y, n_y)
+                n_x = jnp.where(take, xpc, n_x)
+                n_rep = jnp.where(take, rb, n_rep)
+                n_rw = jnp.where(take, i32(1), n_rw)
+
+            # STATE_M (backtrack.py:174-185)
+            Sv = sval(jnp.maximum(y, 0), jnp.maximum(x, 0))
+            for a in range(e1p):
+                yp = E1i_ref[y, a]
+                cy = E1c_ref[y, a]
+                ra = E1r_ref[y, a]
+                va = (st == ST_M) & (yp >= 0) & (cy < COST_INF)
+                ypc = jnp.maximum(yp, 0)
+                for b in range(e2p):
+                    xp = E2i_ref[x, b]
+                    cx = E2c_ref[x, b]
+                    rb = E2r_ref[x, b]
+                    vb = va & (xp >= 0) & (cx < COST_INF)
+                    xpc = jnp.maximum(xp, 0)
+                    ww = wval(ypc, xpc)
+                    d_ = jnp.abs(f32(sc - f32(((ww + Sv) - cy) - cx)))
+                    take = vb & (best > d_)
+                    best = jnp.where(take, d_, best)
+                    n_y = jnp.where(take, ypc, n_y)
+                    n_x = jnp.where(take, xpc, n_x)
+                    n_rep = jnp.where(take,
+                                      jnp.where(ra + rb > 0, 1, 0), n_rep)
+                    n_rw = jnp.where(take, i32(1), n_rw)
+
+            rs, rst = resolve_w(n_y, n_x)
+            use = (n_rw > 0) & ((n_y != 0) | (n_x != 0)) & (best < BIG)
+            n_st = jnp.where(use, rst, n_st)
+            n_sc = jnp.where(use, rs, n_sc)
+
+            fail = fail | (n_rep > 0) | (best >= BIG)
+            live = (n_x != 0) | (n_y != 0)
+            pos = push_state(pos, n_y, n_x, n_st, live & ~fail)
+            return (n_y, n_x, n_st, n_sc, pos, fail, it + 1)
+
+        y_f, x_f, st_f, sc_f, pos_f, fail_f, _ = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (y0, x0, st0.astype(i32), sc0, pos1, rep0 > 0, i32(0)))
+
+        posF = push(pos_f, i32(0), i32(0), ~fail_f)
+
+        ii16 = jax.lax.broadcasted_iota(i32, (1, 16), 1)
+        meta = jnp.where(ii16 == META_SCORE, Wend, f32(0))
+        meta = jnp.where(ii16 == META_LEN, posF.astype(f32), meta)
+        meta = jnp.where(ii16 == META_FAIL, fail_f.astype(f32), meta)
+        meta_ref[0:1, :] = meta
+
+    # --------------- pallas_call wiring ---------------
+    Lmax = n1p + n2p
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # Sdiag (DMA'd)
+            pl.BlockSpec((o1p, n1p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # C2diag (DMA'd)
+            pl.BlockSpec((n1p, e1p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1p, e1p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1p, e1p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2p, e2p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2p, e2p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2p, e2p), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Lmax), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lmax), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((((D + 7) // 8) * 8 + 8, n1p),
+                                   jnp.float32)] * 5
+        + [pltpu.VMEM((ring, n1p), jnp.float32)] * 4,
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Lmax), jnp.int32),
+        jax.ShapeDtypeStruct((1, Lmax), jnp.int32),
+        jax.ShapeDtypeStruct((1, 16), jnp.float32),
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024)),
+    )
+    return jax.jit(call)
+
+
+def _true_edges_padded(graph, scores, n_pad: int, e_pad: int):
+    """True per-node edge lists in PredIterator order with repeat costs
+    materialized; NaN costs (inf*0 under repeatext_prob=0) and +inf become
+    +1e37, which is decision-equivalent in fill and backtrack."""
+    idx, cost, isrep, units = graph.padded()
+    n, e = idx.shape
+    rep_cost = (np.float32(scores.repeat_init)
+                + np.float32(scores.repeat_ext)
+                * (units - 1).astype(np.float32))
+    with np.errstate(invalid="ignore"):
+        cost = np.where(isrep, rep_cost, cost).astype(np.float32)
+    cost = np.where(np.isnan(cost) | np.isinf(cost), COST_INF,
+                    cost).astype(np.float32)
+    cost = np.where(isrep & (units == 0), COST_INF, cost).astype(np.float32)
+    ip = np.full((n_pad, e_pad), -1, dtype=np.int32)
+    cp = np.full((n_pad, e_pad), COST_INF, dtype=np.float32)
+    rp = np.zeros((n_pad, e_pad), dtype=np.int32)
+    ip[:n, :e] = idx
+    cp[:n, :e] = cost
+    rp[:n, :e] = isrep.astype(np.int32)
+    return ip, cp, rp
+
+
+def prepare_pair(g1, g2, scores, max_offsets: int = 16):
+    """Host-side preparation of one pair's kernel operands (no S upload —
+    the device computes it).  None when the pair exceeds kernel buckets."""
+    oc1 = _offset_costs(g1, scores, max_offsets)
+    oc2 = _offset_costs(g2, scores, max_offsets)
+    if oc1 is None or oc2 is None:
+        return None
+    o1, C1 = oc1
+    o2, C2 = oc2
+    n1, n2 = g1.size, g2.size
+    n1p = _bucket(max(n1, 16), LANE)
+    n2p = _bucket(max(n2, 16), LANE)
+    if n1p > 512 or n2p > 512:
+        return None
+    def pow2(x):
+        return 1 << max(0, (int(x) - 1)).bit_length()
+
+    o1p = pow2(len(o1))
+    o2p = pow2(len(o2))
+    reach = int(o1.max()) + int(o2.max())
+    ring = 64 if reach < 64 else (128 if reach < 128 else None)
+    if ring is None:
+        return None
+
+    e1p = pow2(g1.padded()[0].shape[1])
+    e2p = pow2(g2.padded()[0].shape[1])
+    if e1p > 16 or e2p > 16:
+        return None
+
+    with np.errstate(invalid="ignore"):
+        C1T = np.full((o1p, n1p), COST_INF, dtype=np.float32)
+        C1T[:C1.shape[1], :n1] = np.nan_to_num(
+            C1.T, nan=COST_INF, posinf=COST_INF)
+        C2p = np.full((n2p, o2p), COST_INF, dtype=np.float32)
+        C2p[:n2, :C2.shape[1]] = np.nan_to_num(
+            C2, nan=COST_INF, posinf=COST_INF)
+
+    E1 = _true_edges_padded(g1, scores, n1p, e1p)
+    E2 = _true_edges_padded(g2, scores, n2p, e2p)
+
+    o1pad = np.ones(o1p, np.int32)
+    o1pad[:len(o1)] = o1
+    o2pad = np.ones(o2p, np.int32)
+    o2pad[:len(o2)] = o2
+    scal = np.concatenate([o1pad, o2pad, np.array([n1, n2], np.int32)])
+
+    par = np.zeros(16, dtype=np.float32)
+    par[0] = scores.gap_extend
+    par[1] = scores.gap_init
+    par[2] = scores.start_gap
+    par[3] = scores.start_init
+    par[4] = scores.end_match
+    par[5] = scores.end_gap
+    par[6] = scores.end_skip
+
+    return dict(n1=n1, n2=n2, n1p=n1p, n2p=n2p, o1p=o1p, o2p=o2p,
+                e1p=e1p, e2p=e2p, ring=ring, scal=scal, C1T=C1T, C2p=C2p,
+                par=par, E1=E1, E2=E2)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_prologue(n1p: int, n2p: int, dim: int):
+    """Jitted device prologue: exact-S from sites, sheared to diag-major,
+    plus C2 reshaped to diag-major."""
+    import jax
+    import jax.numpy as jnp
+    from .scores_device import make_exact_S
+
+    D = n1p + n2p - 3
+    DBv = ((D + 7) // 8) * 8 + 8
+    exact_S = make_exact_S(dim)
+
+    def prologue(g1s, g2s, M, pi, match_init, n1, n2, C2p):
+        S = exact_S(g1s, g2s, M, pi, match_init, n1, n2)   # [n1p, n2p]
+        ys = jnp.arange(n1p)
+        # Sdiag row k holds diagonal k+1: Sdiag[k, y] = S[y, k+1-y]
+        dgrid = jnp.arange(1, DBv + 1)[:, None]
+        xg = dgrid - ys[None, :]
+        ok = (xg >= 0) & (xg < n2p)
+        Sdiag = jnp.where(ok, S[jnp.broadcast_to(ys[None, :], (DBv, n1p)),
+                                jnp.clip(xg, 0, n2p - 1)], NEG)
+        Sdiag = jnp.where(jnp.isnan(Sdiag) | (Sdiag < NEG), NEG, Sdiag)
+        # C2diag row k holds diagonal k: C2diag[k, j, y] = C2p[k-y, j]
+        dg0 = jnp.arange(DBv)[:, None]
+        xg0 = dg0 - ys[None, :]
+        ok0 = (xg0 >= 0) & (xg0 < C2p.shape[0])
+        C2g = C2p[jnp.clip(xg0, 0, C2p.shape[0] - 1)]   # [DBv, n1p, o2p]
+        C2g = jnp.where(ok0[:, :, None], C2g, COST_INF)
+        C2diag = jnp.transpose(C2g, (0, 2, 1))          # [DBv, o2p, n1p]
+        return Sdiag.astype(jnp.float32), C2diag.astype(jnp.float32)
+
+    return jax.jit(prologue)
+
+
+def _host_sdiag(S_host, n1p, n2p, prep):
+    """Shear a host-computed S to the kernel's diag-major layout (used on
+    non-TPU backends, where XLA:CPU's LLVM-level FMA contraction breaks the
+    exact-rounding replay that scores_device relies on; the TPU never
+    contracts — probed)."""
+    D = n1p + n2p - 3
+    DBv = ((D + 7) // 8) * 8 + 8
+    n1, n2 = prep["n1"], prep["n2"]
+    Sp = np.full((n1p, n2p), NEG, np.float32)
+    Sp[:n1, :n2] = S_host
+    ys = np.arange(n1p)
+    dgrid = np.arange(1, DBv + 1)[:, None]
+    xg = dgrid - ys[None, :]
+    ok = (xg >= 0) & (xg < n2p)
+    Sdiag = np.where(ok, Sp[np.broadcast_to(ys[None, :], (DBv, n1p)),
+                            np.clip(xg, 0, n2p - 1)], NEG)
+    Sdiag = np.where(np.isnan(Sdiag) | (Sdiag < NEG), NEG,
+                     Sdiag).astype(np.float32)
+    dg0 = np.arange(DBv)[:, None]
+    xg0 = dg0 - ys[None, :]
+    C2p = prep["C2p"]
+    ok0 = (xg0 >= 0) & (xg0 < C2p.shape[0])
+    C2g = np.where(ok0[:, :, None], C2p[np.clip(xg0, 0, C2p.shape[0] - 1)],
+                   COST_INF)
+    return Sdiag, np.transpose(C2g, (0, 2, 1)).astype(np.float32)
+
+
+def align_pair_device(g1, g2, model, scores, interpret=None, s_mode="auto"):
+    """Fused device alignment of one pair.  Returns (mapping1, mapping2,
+    score, n_tr_indels) or None on bucket overflow / repeat-path bail.
+
+    s_mode: "auto" computes S on device on TPU backends and on host
+    otherwise; "device"/"host" force (testing)."""
+    import jax
+    import jax.numpy as jnp
+
+    prep = prepare_pair(g1, g2, scores)
+    if prep is None:
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+
+    n1p, n2p = prep["n1p"], prep["n2p"]
+    dim = g1.dim
+    use_device_s = (s_mode == "device") or (s_mode == "auto" and on_tpu)
+    if use_device_s:
+        prologue = _jit_prologue(n1p, n2p, dim)
+        g1s = np.zeros((n1p, dim), np.float32)
+        g1s[:prep["n1"]] = g1.sites.astype(np.float32)
+        g2s = np.zeros((n2p, dim), np.float32)
+        g2s[:prep["n2"]] = g2.sites.astype(np.float32)
+        Sdiag, C2diag = prologue(g1s, g2s, model.M.astype(np.float32),
+                                 model.pi.astype(np.float32),
+                                 np.float32(scores.match_init),
+                                 prep["n1"], prep["n2"], prep["C2p"])
+    else:
+        from .scores import precompute_scores
+        S_host = precompute_scores(g1, g2, model, scores)
+        Sdiag, C2diag = _host_sdiag(S_host, n1p, n2p, prep)
+
+    kern = _make_kernel(n1p, n2p, prep["o1p"], prep["o2p"], prep["e1p"],
+                        prep["e2p"], prep["ring"], interpret)
+    E1i, E1c, E1r = prep["E1"]
+    E2i, E2c, E2r = prep["E2"]
+    m1, m2, meta = kern(jnp.asarray(prep["scal"]), Sdiag,
+                        jnp.asarray(prep["C1T"]), C2diag,
+                        jnp.asarray(E1i), jnp.asarray(E1c), jnp.asarray(E1r),
+                        jnp.asarray(E2i), jnp.asarray(E2c), jnp.asarray(E2r),
+                        jnp.asarray(prep["par"]))
+    meta = np.asarray(meta)[0]
+    if meta[META_FAIL] != 0.0:
+        return None
+    ln = int(meta[META_LEN])
+    m1v = np.asarray(m1)[0][:ln][::-1].tolist()
+    m2v = np.asarray(m2)[0][:ln][::-1].tolist()
+    return m1v, m2v, np.float32(meta[META_SCORE]), 0

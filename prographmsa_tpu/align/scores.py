@@ -74,7 +74,7 @@ def LOG(x: float) -> float:
 def average_alignment_length(graph, engine: str = "auto") -> float:
     """Average free-edge path length from start to each node, evaluated at
     the end node (GraphAlign.h:57-96)."""
-    if engine in ("auto", "native"):
+    if engine in ("auto", "native", "pallas"):
         from .. import native
         res = native.average_alignment_length_native(graph)
         if res is not None:
@@ -173,7 +173,7 @@ def precompute_scores(g1, g2, model, scores,
     the vector/tail split falls on the same elements.  The native C++
     kernel (graphcore.cpp gc_precompute_scores) replays the identical op
     order (tests/test_native.py)."""
-    if engine in ("auto", "native"):
+    if engine in ("auto", "native", "pallas"):
         from .. import native
         S = native.precompute_scores_native(g1, g2, model, scores.match_init)
         if S is not None:

@@ -59,16 +59,22 @@ def make_exact_S(dim: int):
     f32 = jnp.float32
     k4 = dim & ~3
 
+    def fmul(a, b):
+        # explicitly rounded product: XLA:CPU would otherwise contract the
+        # mul into the following add (FMA), skipping the intermediate
+        # rounding this replay must reproduce; XLA:TPU never contracts
+        return lax.optimization_barrier(a * b)
+
     def eigen_dot(A, y):
         """Row-wise f32 dot with Eigen/SSE packet rounding
         (align/scores.py _eigen_dot_f32)."""
         n = A.shape[0]
         acc = jnp.zeros((n, 4), f32)
         for k in range(0, k4, 4):
-            acc = acc + A[:, k:k + 4] * y[k:k + 4][None, :]
+            acc = acc + fmul(A[:, k:k + 4], y[k:k + 4][None, :])
         res = (acc[:, 0] + acc[:, 2]) + (acc[:, 1] + acc[:, 3])
         for k in range(k4, dim):
-            res = res + A[:, k] * y[k]
+            res = res + fmul(A[:, k], y[k])
         return res
 
     def exact_S(g1s, g2s, M, pi, match_init, n1, n2):
@@ -79,14 +85,14 @@ def make_exact_S(dim: int):
         # num via rank-1 over dim — each step rounds like the host
         t2 = jnp.zeros((g2s.shape[0], dim), f32)
         for b in range(dim):
-            t2 = t2 + g2s[:, b][:, None] * M[b][None, :]
+            t2 = t2 + fmul(g2s[:, b][:, None], M[b][None, :])
         num = jnp.zeros((g1s.shape[0], g2s.shape[0]), f32)
         for dd in range(dim):
-            num = num + g1s[:, dd][:, None] * t2[:, dd][None, :]
+            num = num + fmul(g1s[:, dd][:, None], t2[:, dd][None, :])
 
         v1 = eigen_dot(g1s, pi)
         v2 = eigen_dot(g2s, pi)
-        den = v1[:, None] * v2[None, :]
+        den = fmul(v1[:, None], v2[None, :])
         S_raw = exact_div(num, den)
 
         body, tail, pos_cm = _ls_log_add_matrix(jnp, lax, S_raw,

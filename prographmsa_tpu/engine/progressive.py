@@ -40,23 +40,29 @@ def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
     kernels, the per-node device kernel, or the numpy reference path — all
     bit-identical (tests/test_native.py, tests/test_dp_device.py)."""
     engine = options.engine
+    if engine == "pallas":
+        # fused on-device fill + backtrack (align/graph_dp_pallas.py): S is
+        # computed on device, only the mappings come back; bails to the
+        # host engines on bucket overflow or repeat-edge paths
+        with timings.phase("dp_device"):
+            from ..align.graph_dp_pallas import align_pair_device
+            scores = DynProgScores(g1, g2, model, options)
+            res = align_pair_device(g1, g2, model, scores)
+        if res is not None:
+            m1, m2, score, ntr = res
+            return AlignmentResult(score=score, n_tr_indels=ntr,
+                                   mapping1=m1, mapping2=m2), scores
+
     with timings.phase("scores"):
         scores = DynProgScores(g1, g2, model, options)
         S = precompute_scores(g1, g2, model, scores, engine)
 
     with timings.phase("dp_fill"):
         dp = None
-        if engine in ("auto", "native"):
+        if engine in ("auto", "native", "pallas"):
             from .. import native
             dp = native.fill_dp_native(g1, g2, S, scores)
-        if dp is None and engine == "pallas":
-            # explicit opt-in only: parity-tested in interpret mode
-            # (tests/test_dp_pallas.py) but currently FAULTS the v5e TPU
-            # runtime when compiled (Mosaic kernel crash under
-            # investigation); "device" below is the supported chip path
-            from ..align.dp_pallas import fill_dp_pallas
-            dp = fill_dp_pallas(g1, g2, S, scores)
-        if dp is None and engine in ("device", "pallas"):
+        if dp is None and engine == "device":
             from ..align.dp_jax import fill_dp_device
             dp = fill_dp_device(g1, g2, S, scores)
         if dp is None:
@@ -64,7 +70,7 @@ def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
 
     with timings.phase("backtrack"):
         aln = None
-        if engine in ("auto", "native"):
+        if engine in ("auto", "native", "pallas"):
             from .. import native
             aln = native.backtrack_native(g1, g2, dp, scores)
         if aln is None:

@@ -1,0 +1,142 @@
+"""Fused fill+backtrack kernel (align/graph_dp_pallas.py) vs host parity.
+
+On CPU the kernel runs in interpret mode with a host-computed S (XLA:CPU's
+LLVM-level FMA contraction breaks the exact-S replay; the TPU backend never
+contracts — probed).  PROGRAPHMSA_TEST_TPU=1 compiles on the real chip in a
+subprocess, including the device-S path.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from prographmsa_tpu.config import Options
+from prographmsa_tpu.alphabet import AA_SPEC
+from prographmsa_tpu.graph.graph import sequence_graph, clean_graph
+from prographmsa_tpu.models.factory import WagModelFactory
+from prographmsa_tpu.align.scores import DynProgScores, precompute_scores
+from prographmsa_tpu.align.dp import fill_dp
+from prographmsa_tpu.align.backtrack import backtrack
+from prographmsa_tpu.align.merge import merge_graphs
+from prographmsa_tpu.align.graph_dp_pallas import align_pair_device
+
+OPTS = Options()
+FACT = WagModelFactory()
+
+
+def _host_align(g1, g2, model):
+    sc = DynProgScores(g1, g2, model, OPTS)
+    S = precompute_scores(g1, g2, model, sc, engine="numpy")
+    dp = fill_dp(g1, g2, S, sc)
+    return backtrack(g1, g2, dp, sc), sc
+
+
+def _assert_same(g1, g2, model):
+    aln, sc = _host_align(g1, g2, model)
+    res = align_pair_device(g1, g2, model, sc, interpret=True)
+    assert res is not None
+    m1, m2, score, _ = res
+    assert m1 == aln.mapping1
+    assert m2 == aln.mapping2
+    assert np.float32(score) == np.float32(aln.score)
+    return aln
+
+
+def _chain(seq):
+    return sequence_graph(AA_SPEC, AA_SPEC.encode(seq))
+
+
+def _merged(s1, s2, model, anc_of=None):
+    g1, g2 = _chain(s1), _chain(s2)
+    aln, _ = _host_align(g1, g2, model)
+    anc = merge_graphs(g1, g2, aln.mapping1, aln.mapping2, model, model,
+                       0.5, 0.5, OPTS)
+    cg, _ = clean_graph(anc.graph, OPTS)
+    return cg
+
+
+def test_kernel_chains():
+    m = FACT.get_model(0.3, OPTS)
+    _assert_same(_chain("ACDEFGHIKLMNP"), _chain("ACDEFGIKLMNP"), m)
+
+
+def test_kernel_merged_graphs():
+    m = FACT.get_model(0.3, OPTS)
+    cg = _merged("ACDEFGHIKLMNPQRSTVWY", "ACDEFGIKMNPQRSTVWY", m)
+    g3 = _chain("ACDEFGHIKLMNPQRSTVW")
+    _assert_same(cg, g3, m)
+    _assert_same(g3, cg, m)
+
+
+def test_kernel_merged_vs_merged():
+    m = FACT.get_model(0.3, OPTS)
+    cg = _merged("ACDEFGHIKLMNPQRSTVWY", "ACDEFGIKMNPQRSTVWY", m)
+    g3 = _chain("ACDEFGHIKLMNPQRSTVW")
+    aln, _ = _host_align(cg, g3, m)
+    anc2 = merge_graphs(cg, g3, aln.mapping1, aln.mapping2, m, m, 0.5, 0.5,
+                        OPTS)
+    cg2, _ = clean_graph(anc2.graph, OPTS)
+    _assert_same(cg2, cg, FACT.get_model(0.8, OPTS))
+
+
+def test_kernel_random_pairs():
+    rng = np.random.RandomState(5)
+    AAs = "ACDEFGHIKLMNPQRSTVWY"
+    m = FACT.get_model(0.6, OPTS)
+    for _ in range(4):
+        s1 = "".join(rng.choice(list(AAs), rng.randint(8, 80)))
+        s2 = "".join(rng.choice(list(AAs), rng.randint(8, 80)))
+        _assert_same(_chain(s1), _chain(s2), m)
+
+
+def test_kernel_repeat_edges_bail():
+    # graphs with repeat edges still fill correctly; a backtrack that takes
+    # a repeat edge returns None (host fallback handles it)
+    from prographmsa_tpu.graph.graph import Graph
+
+    m = FACT.get_model(0.3, OPTS)
+    g1 = _chain("ACDEFACDEFACDEF")
+    tr = np.full(g1.size, -1, dtype=np.int64)
+    tr[1:16] = np.tile(np.arange(5), 3)
+    g1.add_repeats([tr])
+    g2 = _chain("ACDEFACDEF")
+    opts = Options(repeat_rate=0.5, repeatext_prob=0.3)
+    sc = DynProgScores(g1, g2, m, opts)
+    S = precompute_scores(g1, g2, m, sc, engine="numpy")
+    dp = fill_dp(g1, g2, S, sc)
+    aln = backtrack(g1, g2, dp, sc)
+    res = align_pair_device(g1, g2, m, sc, interpret=True)
+    if aln.n_tr_indels > 0:
+        assert res is None      # repeat path selected -> kernel bails
+    else:
+        assert res is not None
+        assert res[0] == aln.mapping1 and res[1] == aln.mapping2
+
+
+@pytest.mark.skipif(os.environ.get("PROGRAPHMSA_TEST_TPU") != "1",
+                    reason="set PROGRAPHMSA_TEST_TPU=1 to compile on TPU")
+def test_kernel_on_real_tpu():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "from tests.test_graph_dp_pallas import *;"
+        "m = FACT.get_model(0.3, OPTS);"
+        "cg = _merged('ACDEFGHIKLMNPQRSTVWY', 'ACDEFGIKMNPQRSTVWY', m);"
+        "g3 = _chain('ACDEFGHIKLMNPQRSTVW');"
+        "aln, sc = _host_align(cg, g3, m);"
+        "res = align_pair_device(cg, g3, m, sc, interpret=False,"
+        " s_mode='device');"
+        "assert res is not None;"
+        "assert res[0] == aln.mapping1 and res[1] == aln.mapping2;"
+        "import numpy as np;"
+        "assert np.float32(res[2]) == np.float32(aln.score);"
+        "print('TPU-OK')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "TPU-OK" in out.stdout, (out.stdout[-1000:], out.stderr[-2000:])
