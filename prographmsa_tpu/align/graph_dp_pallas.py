@@ -55,8 +55,8 @@ META_SCORE, META_LEN, META_FAIL = 0, 1, 2
 
 
 @functools.lru_cache(maxsize=64)
-def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
-                 ring: int, interpret: bool):
+def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
+                 e2p: int, ring: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -85,15 +85,16 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
                ringM, ringX, ringY, ringW):  # scratch [R, n1p] f32
         f32 = jnp.float32
         i32 = jnp.int32
-        ge = par_ref[0]
-        gi = par_ref[1]
-        sg = par_ref[2]
-        start_init = par_ref[3]
-        end_match = par_ref[4]
-        end_gap = par_ref[5]
-        end_skip = par_ref[6]
-        n1 = scal_ref[I_N1]
-        n2 = scal_ref[I_N2]
+        b = pl.program_id(0)
+        ge = par_ref[0, 0]
+        gi = par_ref[0, 1]
+        sg = par_ref[0, 2]
+        start_init = par_ref[0, 3]
+        end_match = par_ref[0, 4]
+        end_gap = par_ref[0, 5]
+        end_skip = par_ref[0, 6]
+        n1 = scal_ref[b, I_N1]
+        n2 = scal_ref[b, I_N2]
 
         ys = jax.lax.broadcasted_iota(i32, (1, n1p), 1)
         lmax_ii = jax.lax.broadcasted_iota(i32, (1, Lmax), 1)
@@ -136,8 +137,8 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
             Sy = jnp.full((1, n1p), FLOOR)
             SyB = jnp.full((1, n1p), FLOOR)
             for i in range(o1p):
-                o1i = scal_ref[i]
-                ci = C1T_ref[i:i + 1, :]
+                o1i = scal_ref[b, i]
+                ci = C1T_ref[0, i:i + 1, :]
                 ki = jax.lax.rem(d - o1i + R, R)
                 vi = d - o1i >= 0
                 w_sh = shift_rows(ring_row(ringW, ki, vi), o1i)
@@ -145,7 +146,7 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
                 Sy = jnp.fmax(Sy, jnp.fmax(y_sh + ge, w_sh + gi) - ci)
                 SyB = jnp.fmax(SyB, jnp.fmax(y_sh + ge, w_sh + sg) - ci)
                 for j in range(o2p):
-                    o2j = scal_ref[o1p + j]
+                    o2j = scal_ref[b, o1p + j]
                     cj = C2d[j:j + 1, :]
                     kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
                     vij = d - o1i - o2j >= 0
@@ -155,7 +156,7 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
             Sx = jnp.full((1, n1p), FLOOR)
             SxB = jnp.full((1, n1p), FLOOR)
             for j in range(o2p):
-                o2j = scal_ref[o1p + j]
+                o2j = scal_ref[b, o1p + j]
                 cj = C2d[j:j + 1, :]
                 kj = jax.lax.rem(d - o2j + R, R)
                 vj = d - o2j >= 0
@@ -207,9 +208,9 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
             def blk_body(blk, c):
                 base = blk * 8
                 cp1 = pltpu.make_async_copy(
-                    Sdiag_ref.at[pl.ds(base, 8)], Swin, sem1)
+                    Sdiag_ref.at[b, pl.ds(base, 8)], Swin, sem1)
                 cp2 = pltpu.make_async_copy(
-                    C2diag_ref.at[pl.ds(base + 1, 8)], C2win, sem2)
+                    C2diag_ref.at[b, pl.ds(base + 1, 8)], C2win, sem2)
                 cp1.start()
                 cp2.start()
                 cp1.wait()
@@ -262,13 +263,13 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
         def end_scan():
             Wend = f32(FLOOR)
             for a in range(e1p):
-                yp = E1i_ref[n1 - 1, a]
-                cy = E1c_ref[n1 - 1, a]
+                yp = E1i_ref[0, n1 - 1, a]
+                cy = E1c_ref[0, n1 - 1, a]
                 va = yp >= 0
                 ypc = jnp.maximum(yp, 0)
-                for b in range(e2p):
-                    xp = E2i_ref[n2 - 1, b]
-                    cx = E2c_ref[n2 - 1, b]
+                for bb in range(e2p):
+                    xp = E2i_ref[0, n2 - 1, bb]
+                    cx = E2c_ref[0, n2 - 1, bb]
                     vb = va & (xp >= 0)
                     xpc = jnp.maximum(xp, 0)
                     both0 = (ypc == 0) & (xpc == 0)
@@ -297,15 +298,15 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
             sel_score = f32(NEG)
             sel_rep = i32(0)
             for a in range(e1p):
-                yp = E1i_ref[n1 - 1, a]
-                cy = E1c_ref[n1 - 1, a]
-                ra = E1r_ref[n1 - 1, a]
+                yp = E1i_ref[0, n1 - 1, a]
+                cy = E1c_ref[0, n1 - 1, a]
+                ra = E1r_ref[0, n1 - 1, a]
                 va = yp >= 0
                 ypc = jnp.maximum(yp, 0)
-                for b in range(e2p):
-                    xp = E2i_ref[n2 - 1, b]
-                    cx = E2c_ref[n2 - 1, b]
-                    rb = E2r_ref[n2 - 1, b]
+                for bb in range(e2p):
+                    xp = E2i_ref[0, n2 - 1, bb]
+                    cx = E2c_ref[0, n2 - 1, bb]
+                    rb = E2r_ref[0, n2 - 1, bb]
                     vb = va & (xp >= 0)
                     xpc = jnp.maximum(xp, 0)
                     m = mval(ypc, xpc)
@@ -381,9 +382,9 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
 
             # STATE_Y (host: backtrack.py:140-155)
             for a in range(e1p):
-                yp = E1i_ref[y, a]
-                cy = E1c_ref[y, a]
-                ra = E1r_ref[y, a]
+                yp = E1i_ref[0, y, a]
+                cy = E1c_ref[0, y, a]
+                ra = E1r_ref[0, y, a]
                 va = (st == ST_Y) & (yp >= 0) & (cy < COST_INF)
                 ypc = jnp.maximum(yp, 0)
                 yy = yval(ypc, x)
@@ -406,10 +407,10 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
                 n_rw = jnp.where(take, i32(1), n_rw)
 
             # STATE_X (backtrack.py:157-172)
-            for b in range(e2p):
-                xp = E2i_ref[x, b]
-                cx = E2c_ref[x, b]
-                rb = E2r_ref[x, b]
+            for bb in range(e2p):
+                xp = E2i_ref[0, x, bb]
+                cx = E2c_ref[0, x, bb]
+                rb = E2r_ref[0, x, bb]
                 vb = (st == ST_X) & (xp >= 0) & (cx < COST_INF)
                 xpc = jnp.maximum(xp, 0)
                 xx = xval(y, xpc)
@@ -434,15 +435,15 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
             # STATE_M (backtrack.py:174-185)
             Sv = sval(jnp.maximum(y, 0), jnp.maximum(x, 0))
             for a in range(e1p):
-                yp = E1i_ref[y, a]
-                cy = E1c_ref[y, a]
-                ra = E1r_ref[y, a]
+                yp = E1i_ref[0, y, a]
+                cy = E1c_ref[0, y, a]
+                ra = E1r_ref[0, y, a]
                 va = (st == ST_M) & (yp >= 0) & (cy < COST_INF)
                 ypc = jnp.maximum(yp, 0)
-                for b in range(e2p):
-                    xp = E2i_ref[x, b]
-                    cx = E2c_ref[x, b]
-                    rb = E2r_ref[x, b]
+                for bb in range(e2p):
+                    xp = E2i_ref[0, x, bb]
+                    cx = E2c_ref[0, x, bb]
+                    rb = E2r_ref[0, x, bb]
                     vb = va & (xp >= 0) & (cx < COST_INF)
                     xpc = jnp.maximum(xp, 0)
                     ww = wval(ypc, xpc)
@@ -482,32 +483,33 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # Sdiag (DMA'd)
-            pl.BlockSpec((o1p, n1p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, o1p, n1p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),      # C2diag (DMA'd)
-            pl.BlockSpec((n1p, e1p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, n1p, e1p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1p, e1p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, n1p, e1p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1p, e1p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, n1p, e1p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2p, e2p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, n2p, e2p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2p, e2p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, n2p, e2p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2p, e2p), lambda b, s: (0, 0),
+            pl.BlockSpec((1, n2p, e2p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda b, s: (b, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lmax), lambda b, s: (0, 0),
+            pl.BlockSpec((1, Lmax), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lmax), lambda b, s: (0, 0),
+            pl.BlockSpec((1, Lmax), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda b, s: (0, 0),
+            pl.BlockSpec((1, 16), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((((D + 7) // 8) * 8 + 8, n1p),
@@ -516,9 +518,9 @@ def _make_kernel(n1p: int, n2p: int, o1p: int, o2p: int, e1p: int, e2p: int,
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((1, Lmax), jnp.int32),
-        jax.ShapeDtypeStruct((1, Lmax), jnp.int32),
-        jax.ShapeDtypeStruct((1, 16), jnp.float32),
+        jax.ShapeDtypeStruct((B, Lmax), jnp.int32),
+        jax.ShapeDtypeStruct((B, Lmax), jnp.int32),
+        jax.ShapeDtypeStruct((B, 16), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -555,9 +557,47 @@ def _true_edges_padded(graph, scores, n_pad: int, e_pad: int):
     return ip, cp, rp
 
 
-def prepare_pair(g1, g2, scores, max_offsets: int = 16):
+def _pow2(x):
+    return 1 << max(0, (int(x) - 1)).bit_length()
+
+
+def pair_buckets(g1, g2, scores, max_offsets: int = 16):
+    """Kernel bucket requirements for a pair, or None if out of range."""
+    oc1 = _offset_costs(g1, scores, max_offsets)
+    oc2 = _offset_costs(g2, scores, max_offsets)
+    if oc1 is None or oc2 is None:
+        return None
+    o1, _ = oc1
+    o2, _ = oc2
+    n1p = _bucket(max(g1.size, 16), LANE)
+    n2p = _bucket(max(g2.size, 16), LANE)
+    if n1p > 512 or n2p > 512:
+        return None
+    reach = int(o1.max()) + int(o2.max())
+    ring = 64 if reach < 64 else (128 if reach < 128 else None)
+    if ring is None:
+        return None
+    e1p = _pow2(g1.padded()[0].shape[1])
+    e2p = _pow2(g2.padded()[0].shape[1])
+    if e1p > 16 or e2p > 16:
+        return None
+    return dict(n1p=n1p, n2p=n2p, o1p=_pow2(len(o1)), o2p=_pow2(len(o2)),
+                e1p=e1p, e2p=e2p, ring=ring)
+
+
+def merge_buckets(bs):
+    """Common (batch) bucket set covering every member."""
+    return dict((k, max(b[k] for b in bs)) for k in bs[0])
+
+
+def prepare_pair(g1, g2, scores, max_offsets: int = 16, buckets=None):
     """Host-side preparation of one pair's kernel operands (no S upload —
-    the device computes it).  None when the pair exceeds kernel buckets."""
+    the device computes it).  None when the pair exceeds kernel buckets.
+    ``buckets`` pads to a common (batch) bucket set."""
+    if buckets is None:
+        buckets = pair_buckets(g1, g2, scores, max_offsets)
+        if buckets is None:
+            return None
     oc1 = _offset_costs(g1, scores, max_offsets)
     oc2 = _offset_costs(g2, scores, max_offsets)
     if oc1 is None or oc2 is None:
@@ -565,23 +605,13 @@ def prepare_pair(g1, g2, scores, max_offsets: int = 16):
     o1, C1 = oc1
     o2, C2 = oc2
     n1, n2 = g1.size, g2.size
-    n1p = _bucket(max(n1, 16), LANE)
-    n2p = _bucket(max(n2, 16), LANE)
-    if n1p > 512 or n2p > 512:
-        return None
-    def pow2(x):
-        return 1 << max(0, (int(x) - 1)).bit_length()
-
-    o1p = pow2(len(o1))
-    o2p = pow2(len(o2))
-    reach = int(o1.max()) + int(o2.max())
-    ring = 64 if reach < 64 else (128 if reach < 128 else None)
-    if ring is None:
-        return None
-
-    e1p = pow2(g1.padded()[0].shape[1])
-    e2p = pow2(g2.padded()[0].shape[1])
-    if e1p > 16 or e2p > 16:
+    n1p, n2p = buckets["n1p"], buckets["n2p"]
+    o1p, o2p = buckets["o1p"], buckets["o2p"]
+    e1p, e2p = buckets["e1p"], buckets["e2p"]
+    ring = buckets["ring"]
+    if (len(o1) > o1p or len(o2) > o2p or n1 > n1p or n2 > n2p
+            or g1.padded()[0].shape[1] > e1p
+            or g2.padded()[0].shape[1] > e2p):
         return None
 
     with np.errstate(invalid="ignore"):
@@ -617,8 +647,8 @@ def prepare_pair(g1, g2, scores, max_offsets: int = 16):
 
 @functools.lru_cache(maxsize=32)
 def _jit_prologue(n1p: int, n2p: int, dim: int):
-    """Jitted device prologue: exact-S from sites, sheared to diag-major,
-    plus C2 reshaped to diag-major."""
+    """Jitted batched device prologue: exact-S from sites, sheared to
+    diag-major, plus C2 reshaped to diag-major (vmapped over pairs)."""
     import jax
     import jax.numpy as jnp
     from .scores_device import make_exact_S
@@ -646,7 +676,21 @@ def _jit_prologue(n1p: int, n2p: int, dim: int):
         C2diag = jnp.transpose(C2g, (0, 2, 1))          # [DBv, o2p, n1p]
         return Sdiag.astype(jnp.float32), C2diag.astype(jnp.float32)
 
-    return jax.jit(prologue)
+    return jax.jit(jax.vmap(prologue))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_pack():
+    """Pack kernel outputs into one array so the batch costs ONE fetch
+    (~25 ms fixed cost per device->host transfer on this tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    def pack(m1, m2, meta):
+        mi = jax.lax.bitcast_convert_type(meta, jnp.int32)
+        return jnp.concatenate([m1, m2, mi], axis=1)
+
+    return jax.jit(pack)
 
 
 def _host_sdiag(S_host, n1p, n2p, prep):
@@ -676,53 +720,103 @@ def _host_sdiag(S_host, n1p, n2p, prep):
     return Sdiag, np.transpose(C2g, (0, 2, 1)).astype(np.float32)
 
 
-def align_pair_device(g1, g2, model, scores, interpret=None, s_mode="auto"):
-    """Fused device alignment of one pair.  Returns (mapping1, mapping2,
-    score, n_tr_indels) or None on bucket overflow / repeat-path bail.
-
-    s_mode: "auto" computes S on device on TPU backends and on host
-    otherwise; "device"/"host" force (testing)."""
+def align_pairs_device(items, interpret=None, s_mode="auto"):
+    """Fused device alignment of a BATCH of pairs in one kernel launch and
+    ONE result fetch.  ``items``: list of (g1, g2, model, scores).  Returns
+    a list of (mapping1, mapping2, score, n_tr_indels) — None per pair on
+    bucket overflow / repeat-path bail (caller falls back to host)."""
     import jax
     import jax.numpy as jnp
 
-    prep = prepare_pair(g1, g2, scores)
-    if prep is None:
-        return None
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = not on_tpu
-
-    n1p, n2p = prep["n1p"], prep["n2p"]
-    dim = g1.dim
     use_device_s = (s_mode == "device") or (s_mode == "auto" and on_tpu)
+
+    results = [None] * len(items)
+    bks = []
+    for (g1, g2, model, scores) in items:
+        bks.append(pair_buckets(g1, g2, scores))
+    live = [i for i, b in enumerate(bks) if b is not None]
+    if not live:
+        return results
+    buckets = merge_buckets([bks[i] for i in live])
+    preps = {}
+    for i in live:
+        g1, g2, model, scores = items[i]
+        preps[i] = prepare_pair(g1, g2, scores, buckets=buckets)
+    live = [i for i in live if preps[i] is not None]
+    if not live:
+        return results
+
+    B = _pow2(len(live))
+    idxs = live + [live[0]] * (B - len(live))    # pad with a duplicate
+    n1p, n2p = buckets["n1p"], buckets["n2p"]
+    dim = items[live[0]][0].dim
+
     if use_device_s:
+        g1sb = np.zeros((B, n1p, dim), np.float32)
+        g2sb = np.zeros((B, n2p, dim), np.float32)
+        Mb = np.zeros((B, dim, dim), np.float32)
+        pib = np.zeros((B, dim), np.float32)
+        mib = np.zeros(B, np.float32)
+        n1b = np.zeros(B, np.int32)
+        n2b = np.zeros(B, np.int32)
+        C2pb = np.zeros((B, n2p, buckets["o2p"]), np.float32)
+        for k, i in enumerate(idxs):
+            g1, g2, model, scores = items[i]
+            p = preps[i]
+            g1sb[k, :p["n1"]] = g1.sites.astype(np.float32)
+            g2sb[k, :p["n2"]] = g2.sites.astype(np.float32)
+            Mb[k] = model.M.astype(np.float32)
+            pib[k] = model.pi.astype(np.float32)
+            mib[k] = np.float32(scores.match_init)
+            n1b[k], n2b[k] = p["n1"], p["n2"]
+            C2pb[k] = p["C2p"]
         prologue = _jit_prologue(n1p, n2p, dim)
-        g1s = np.zeros((n1p, dim), np.float32)
-        g1s[:prep["n1"]] = g1.sites.astype(np.float32)
-        g2s = np.zeros((n2p, dim), np.float32)
-        g2s[:prep["n2"]] = g2.sites.astype(np.float32)
-        Sdiag, C2diag = prologue(g1s, g2s, model.M.astype(np.float32),
-                                 model.pi.astype(np.float32),
-                                 np.float32(scores.match_init),
-                                 prep["n1"], prep["n2"], prep["C2p"])
+        Sdiag, C2diag = prologue(g1sb, g2sb, Mb, pib, mib, n1b, n2b, C2pb)
     else:
         from .scores import precompute_scores
-        S_host = precompute_scores(g1, g2, model, scores)
-        Sdiag, C2diag = _host_sdiag(S_host, n1p, n2p, prep)
+        Sd_list, C2_list = [], []
+        for i in idxs:
+            g1, g2, model, scores = items[i]
+            S_host = precompute_scores(g1, g2, model, scores)
+            sd, c2 = _host_sdiag(S_host, n1p, n2p, preps[i])
+            Sd_list.append(sd)
+            C2_list.append(c2)
+        Sdiag = jnp.asarray(np.stack(Sd_list))
+        C2diag = jnp.asarray(np.stack(C2_list))
 
-    kern = _make_kernel(n1p, n2p, prep["o1p"], prep["o2p"], prep["e1p"],
-                        prep["e2p"], prep["ring"], interpret)
-    E1i, E1c, E1r = prep["E1"]
-    E2i, E2c, E2r = prep["E2"]
-    m1, m2, meta = kern(jnp.asarray(prep["scal"]), Sdiag,
-                        jnp.asarray(prep["C1T"]), C2diag,
-                        jnp.asarray(E1i), jnp.asarray(E1c), jnp.asarray(E1r),
-                        jnp.asarray(E2i), jnp.asarray(E2c), jnp.asarray(E2r),
-                        jnp.asarray(prep["par"]))
-    meta = np.asarray(meta)[0]
-    if meta[META_FAIL] != 0.0:
-        return None
-    ln = int(meta[META_LEN])
-    m1v = np.asarray(m1)[0][:ln][::-1].tolist()
-    m2v = np.asarray(m2)[0][:ln][::-1].tolist()
-    return m1v, m2v, np.float32(meta[META_SCORE]), 0
+    def stack(key, sub=None):
+        if sub is None:
+            return jnp.asarray(np.stack([preps[i][key] for i in idxs]))
+        return jnp.asarray(np.stack([preps[i][key][sub] for i in idxs]))
+
+    kern = _make_kernel(B, n1p, n2p, buckets["o1p"], buckets["o2p"],
+                        buckets["e1p"], buckets["e2p"], buckets["ring"],
+                        interpret)
+    m1, m2, meta = kern(stack("scal"), Sdiag, stack("C1T"), C2diag,
+                        stack("E1", 0), stack("E1", 1), stack("E1", 2),
+                        stack("E2", 0), stack("E2", 1), stack("E2", 2),
+                        stack("par"))
+    Lmax = n1p + n2p
+    packed = np.asarray(_jit_pack()(m1, m2, meta))      # ONE fetch
+    m1h = packed[:, :Lmax]
+    m2h = packed[:, Lmax:2 * Lmax]
+    metah = packed[:, 2 * Lmax:].view(np.float32)
+
+    for k, i in enumerate(idxs[:len(live)]):
+        if metah[k, META_FAIL] != 0.0:
+            continue
+        ln = int(metah[k, META_LEN])
+        results[i] = (m1h[k][:ln][::-1].tolist(),
+                      m2h[k][:ln][::-1].tolist(),
+                      np.float32(metah[k, META_SCORE]), 0)
+    return results
+
+
+def align_pair_device(g1, g2, model, scores, interpret=None, s_mode="auto"):
+    """Fused device alignment of one pair (batch of 1).  Returns
+    (mapping1, mapping2, score, n_tr_indels) or None."""
+    return align_pairs_device([(g1, g2, model, scores)], interpret,
+                              s_mode)[0]

@@ -202,10 +202,16 @@ def do_align(seqs: Dict[str, str], options: Options):
 
     result = None
 
+    def _progressive(tr):
+        if options.engine == "pallas" and not options.earlyref_flag:
+            from .engine.level_driver import progressive_alignment_batched
+            return progressive_alignment_batched(spec, seqs2, tr, reps,
+                                                 csprofile, factory, options)
+        return progressive_alignment(spec, seqs2, tr, reps, csprofile,
+                                     factory, options, {})
+
     for i in range(start_i, options.iters):
-        cache = {}
-        result = progressive_alignment(spec, seqs2, tree, reps, csprofile,
-                                       factory, options, cache)
+        result = _progressive(tree)
         # delete ancestral sequences (main.cpp:408-416)
         result.aligned_sequences = {
             n: s for n, s in result.aligned_sequences.items()
@@ -226,9 +232,7 @@ def do_align(seqs: Dict[str, str], options: Options):
             result = progressive_alignment_find_root(
                 spec, seqs2, tree, reps, csprofile, factory, options)
         else:
-            cache = {}
-            result = progressive_alignment(spec, seqs2, tree, reps, csprofile,
-                                           factory, options, cache)
+            result = _progressive(tree)
 
     if options.repeats_flag:
         # with -T the reference prints the default-constructed count

@@ -266,7 +266,9 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
             l1[b], l2[b] = len(c1), len(c2)
 
         native_res = None
-        if not host_backtrack and options.engine in ("auto", "native"):
+        from ..engine_policy import use_device_nw
+        if (not host_backtrack and not use_device_nw(options)
+                and options.engine in ("auto", "native")):
             from .. import native
             native_res = native.nw_counts_native(s1b, s2b, l1, l2, scoring,
                                                  go, ge, spec.DIM)

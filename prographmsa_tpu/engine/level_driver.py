@@ -1,0 +1,124 @@
+"""Level-synchronous progressive alignment for the device engines.
+
+The reference's per-node recursion (/root/reference/src/ProgressiveAlignment.h:92-93)
+serializes every internal node.  Independent nodes of the guide tree — all
+nodes whose children are complete — can align in the SAME batched kernel
+launch (SURVEY §7 "orchestration"): per level this driver
+
+  1. prepares every ready node on the host (models / expm, graph cleaning),
+  2. launches ONE fused Pallas batch (align/graph_dp_pallas.py) for all the
+     level's pairs and fetches all mappings in ONE transfer (~25 ms fixed
+     cost per fetch on the tunneled TPU makes per-pair fetches a non-starter),
+  3. merges each node on the host (graph surgery is irregular index work),
+     which unblocks the next level.
+
+Pairs the kernel bails on (bucket overflow, repeat-edge backtracks) rerun
+on the host engines, so output equals the sequential driver byte-for-byte
+— asserted by tests/test_level_driver.py.
+
+Not used when early refinement is enabled (its incremental re-alignment
+consumes nodes in recursion order) or when --repeats is active (the
+per-node TR stderr lines must appear in the reference's post-order;
+GraphAlign repeat backtracks mostly bail to host anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import timings
+from ..errors import ParityError
+from .progressive import (ProgressiveAlignmentResult, prealign_node,
+                          align_progressive_results, progressive_alignment)
+
+
+def _collect_nodes(tree):
+    """Post-order node list with child indices."""
+    nodes = []
+
+    def rec(t):
+        if t.is_leaf():
+            nodes.append((t, None, None))
+            return len(nodes) - 1
+        if t.n_children() != 2:
+            raise ParityError("only bifurcating trees allowed")
+        c0 = rec(t[0])
+        c1 = rec(t[1])
+        nodes.append((t, c0, c1))
+        return len(nodes) - 1
+
+    rec(tree)
+    return nodes
+
+
+def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
+                                  factory, options):
+    """Level-batched progressive_alignment (same result, device-batched
+    alignment stage).  Falls back to the sequential driver when a feature
+    requires recursion order."""
+    if options.earlyref_flag or options.repeats_flag:
+        return progressive_alignment(spec, sequences, tree, repeats,
+                                     csprofile, factory, options)
+
+    from ..align.graph_dp_pallas import align_pairs_device
+    from .progressive import align_graphs
+
+    nodes = _collect_nodes(tree)
+    results = [None] * len(nodes)
+
+    # leaves (ProgressiveAlignment.h:59-87 / .cpp:12-28)
+    for i, (t, c0, c1) in enumerate(nodes):
+        if c0 is not None:
+            continue
+        results[i] = progressive_alignment(spec, sequences, t, repeats,
+                                           csprofile, factory, options)
+
+    pending = [i for i, (t, c0, c1) in enumerate(nodes) if c0 is not None]
+    while pending:
+        ready = [i for i in pending
+                 if results[nodes[i][1]] is not None
+                 and results[nodes[i][2]] is not None]
+        if not ready:
+            raise ParityError("tree level scheduling stuck")
+
+        # host prep for the whole level
+        preps = {}
+        items = []
+        for i in ready:
+            t, c0, c1 = nodes[i]
+            r1, r2 = results[c0], results[c1]
+            pre = prealign_node(r1, r2, t[0].branch_length,
+                                t[1].branch_length, factory, options)
+            preps[i] = pre
+            model, _m1, _m2, cg1, _o1, cg2, _o2 = pre
+            from ..align.scores import DynProgScores
+            items.append((cg1, cg2, model, DynProgScores(cg1, cg2, model,
+                                                         options)))
+
+        # one batched kernel launch + one fetch for the level
+        with timings.phase("dp_device"):
+            batch = align_pairs_device(items)
+
+        for k, i in enumerate(ready):
+            t, c0, c1 = nodes[i]
+            r1, r2 = results[c0], results[c1]
+            res = batch[k]
+            aln = None
+            if res is not None:
+                from ..align.backtrack import AlignmentResult
+                m1, m2, score, ntr = res
+                aln = AlignmentResult(score=score, n_tr_indels=ntr,
+                                      mapping1=m1, mapping2=m2)
+            else:
+                # host fallback for this pair (bucket overflow / repeats)
+                cg1, cg2 = items[k][0], items[k][1]
+                aln, _sc = align_graphs(cg1, cg2, items[k][2], options)
+            results[i] = align_progressive_results(
+                r1, r2, t[0].branch_length, t[1].branch_length,
+                t[0].branch_support, t[1].branch_support, factory, options,
+                spec, prealigned=preps[i], aln=aln)
+
+        done = set(ready)
+        pending = [i for i in pending if i not in done]
+
+    return results[-1]

@@ -142,11 +142,10 @@ def final_ancestral_seq(result, mapping, matched, old_result, model, spec):
     result.profiles[name] = profile
 
 
-def align_progressive_results(r1, r2, distance1, distance2, support1,
-                              support2, factory, options, spec):
-    """ProgressiveAlignment.h:413-476."""
-    result = ProgressiveAlignmentResult()
-
+def prealign_node(r1, r2, distance1, distance2, factory, options):
+    """The model/cleaning stage of align_progressive_results, split out so
+    the level-batched driver can prepare a whole level before one batched
+    kernel launch (ProgressiveAlignment.h:418-437)."""
     gap_distance1 = distance1
     gap_distance2 = distance2
     if r1.is_csprofile:
@@ -163,8 +162,23 @@ def align_progressive_results(r1, r2, distance1, distance2, support1,
     with timings.phase("clean"):
         cg1, outmap1 = clean_graph(r1.graph, options)
         cg2, outmap2 = clean_graph(r2.graph, options)
+    return model, model1, model2, cg1, outmap1, cg2, outmap2
 
-    aln, _scores = align_graphs(cg1, cg2, model, options)
+
+def align_progressive_results(r1, r2, distance1, distance2, support1,
+                              support2, factory, options, spec,
+                              prealigned=None, aln=None):
+    """ProgressiveAlignment.h:413-476.  ``prealigned``/``aln`` let the
+    level-batched driver inject the already-computed stage results."""
+    result = ProgressiveAlignmentResult()
+
+    if prealigned is None:
+        prealigned = prealign_node(r1, r2, distance1, distance2, factory,
+                                   options)
+    model, model1, model2, cg1, outmap1, cg2, outmap2 = prealigned
+
+    if aln is None:
+        aln, _scores = align_graphs(cg1, cg2, model, options)
     result.score = float(aln.score)
     result.is_csprofile = False
     result.n_tr_indels = aln.n_tr_indels + r1.n_tr_indels + r2.n_tr_indels

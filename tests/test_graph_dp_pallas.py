@@ -140,3 +140,28 @@ def test_kernel_on_real_tpu():
                          capture_output=True, text=True, timeout=900,
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert "TPU-OK" in out.stdout, (out.stdout[-1000:], out.stderr[-2000:])
+
+
+def test_kernel_batch_mixed_pairs():
+    from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+    rng = np.random.RandomState(9)
+    AAs = "ACDEFGHIKLMNPQRSTVWY"
+    m = FACT.get_model(0.4, OPTS)
+    cg = _merged("ACDEFGHIKLMNPQRSTVWY", "ACDEFGIKMNPQRSTVWY", m)
+    items, expected = [], []
+    for spec_pair in [
+        (_chain("ACDEFGHIKLMNP"), _chain("ACDEFGIKLMNP")),
+        (cg, _chain("ACDEFGHIKLMNPQRSTVW")),
+        (_chain("".join(rng.choice(list(AAs), 40))),
+         _chain("".join(rng.choice(list(AAs), 33)))),
+    ]:
+        g1, g2 = spec_pair
+        aln, sc = _host_align(g1, g2, m)
+        items.append((g1, g2, m, sc))
+        expected.append(aln)
+    res = align_pairs_device(items, interpret=True)
+    assert all(r is not None for r in res)
+    for r, aln in zip(res, expected):
+        assert r[0] == aln.mapping1
+        assert r[1] == aln.mapping2
+        assert np.float32(r[2]) == np.float32(aln.score)
