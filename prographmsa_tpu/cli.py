@@ -126,6 +126,8 @@ def do_align(seqs: Dict[str, str], options: Options):
     """doAlign<ALPHABET> (main.cpp:324-483).
 
     Returns (aligned {name: str}, all_trees [PhyTree])."""
+    from .runtime import enable_compile_cache
+    enable_compile_cache()
     spec = al.get_alphabet(options)
 
     # strip start/stop codons (main.cpp:326-353)

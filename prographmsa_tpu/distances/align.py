@@ -190,6 +190,22 @@ def _backtrack_pair(W, X, Y, s1, s2, scoring, dim):
     return counts, gaps
 
 
+def _device_nw_dispatch(s1b, s2b, l1, l2, scoring, go, ge, dim):
+    """Launch one NW chunk on device WITHOUT synchronizing: returns the
+    device arrays (counts, gaps).  JAX dispatch is async, so launching every
+    chunk before fetching any pipelines device compute with the tunnel
+    transfers and the host ML-Newton of earlier chunks."""
+    import jax.numpy as jnp
+
+    from .nw_device import _make_kernel
+    kern = _make_kernel(s1b.shape[1], s2b.shape[1], go, ge, dim,
+                        scoring.shape[0])
+    counts, gaps, _ = kern(jnp.asarray(s1b), jnp.asarray(s2b),
+                           jnp.asarray(l1), jnp.asarray(l2),
+                           jnp.asarray(scoring))
+    return counts, gaps
+
+
 def _device_nw_chunk(s1b, s2b, l1, l2, scoring, go, ge, dim):
     """One device NW chunk: mesh-sharded when >1 device is visible, with
     deterministic recovery — the kernel is a pure function of its inputs, so
@@ -252,11 +268,14 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
     # one padded shape for every chunk -> the scan compiles exactly once
     L1 = max(lens.values())
     L2 = L1
+    chunks = []
+    # smallest dtype that holds every code: quarters the tunnel upload
+    code_dt = np.uint8 if scoring.shape[0] <= 256 else np.int32
     for start in range(0, len(pairs), batch_pairs):
         chunk = pairs[start:start + batch_pairs]
         B = batch_pairs if len(pairs) > batch_pairs else len(chunk)
-        s1b = np.zeros((B, L1), dtype=np.int32)
-        s2b = np.zeros((B, L2), dtype=np.int32)
+        s1b = np.zeros((B, L1), dtype=code_dt)
+        s2b = np.zeros((B, L2), dtype=code_dt)
         l1 = np.zeros(B, dtype=np.int32)
         l2 = np.zeros(B, dtype=np.int32)
         for b, (i, j) in enumerate(chunk):
@@ -264,15 +283,43 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
             s1b[b, :len(c1)] = c1
             s2b[b, :len(c2)] = c2
             l1[b], l2[b] = len(c1), len(c2)
+        chunks.append((chunk, s1b, s2b, l1, l2))
 
+    # single-device async pipeline: dispatch every chunk before fetching any
+    from ..engine_policy import use_device_nw
+    dispatched = [None] * len(chunks)
+    if not host_backtrack and use_device_nw(options):
+        try:
+            import jax
+            if len(jax.devices()) == 1:
+                for c, (chunk, s1b, s2b, l1, l2) in enumerate(chunks):
+                    dispatched[c] = _device_nw_dispatch(
+                        s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
+        except Exception as e:  # noqa: BLE001 — sync paths below recover
+            import sys
+            print("warning: async NW dispatch failed (%r); falling back to "
+                  "per-chunk launches" % (e,), file=sys.stderr)
+            dispatched = [None] * len(chunks)
+
+    for c, (chunk, s1b, s2b, l1, l2) in enumerate(chunks):
         native_res = None
-        from ..engine_policy import use_device_nw
-        if (not host_backtrack and not use_device_nw(options)
+        if (dispatched[c] is None and not host_backtrack
+                and not use_device_nw(options)
                 and options.engine in ("auto", "native")):
             from .. import native
             native_res = native.nw_counts_native(s1b, s2b, l1, l2, scoring,
                                                  go, ge, spec.DIM)
-        if native_res is not None:
+        if dispatched[c] is not None:
+            dc, dg = dispatched[c]
+            try:
+                counts_b, gaps_b = np.asarray(dc), np.asarray(dg)
+            except Exception as e:  # noqa: BLE001 — deterministic retry
+                import sys
+                print("warning: NW chunk fetch failed (%r); retrying "
+                      "synchronously" % (e,), file=sys.stderr)
+                counts_b, gaps_b = _device_nw_chunk(
+                    s1b, s2b, l1, l2, scoring, go, ge, spec.DIM)
+        elif native_res is not None:
             counts_b, gaps_b = native_res
         elif host_backtrack:
             W = _batched_W(s1b, l1, s2b, l2, scoring, go, ge)

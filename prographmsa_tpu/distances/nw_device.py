@@ -36,9 +36,12 @@ def _make_kernel(L1: int, L2: int, go: int, ge: int, dim: int,
     ys_idx = jnp.arange(H)
 
     def kernel(s1b, s2b, l1, l2, scoring):
-        """s1b [B,L1] i32, s2b [B,L2] i32, l1/l2 [B] i32,
+        """s1b [B,L1], s2b [B,L2] (any int dtype — uint8 uploads are 4x
+        cheaper on the tunnel and widened here), l1/l2 [B] i32,
         scoring [table_n, table_n] i32 ->
-        (counts [B, dim, dim] i32, gaps [B] i32, w_final [B] i32)."""
+        (counts [B, dim, dim] u16, gaps [B] i32, w_final [B] i32)."""
+        s1b = s1b.astype(jnp.int32)
+        s2b = s2b.astype(jnp.int32)
         B = s1b.shape[0]
         bidx = jnp.arange(B)
 
@@ -154,9 +157,10 @@ def _make_kernel(L1: int, L2: int, go: int, ge: int, dim: int,
 
         w_final = w_at(l2.astype(jnp.int32), l1.astype(jnp.int32))
         # idx = s1*dim + s2 -> reshape gives counts[s1, s2], matching the
-        # reference's counts(s1, s2) (DistanceFactoryAlign.h:100)
+        # reference's counts(s1, s2) (DistanceFactoryAlign.h:100).
+        # uint16 is exact (counts <= L < 2^16) and halves the tunnel fetch.
         counts = counts[:, :dim * dim].reshape(B, dim, dim)
-        return counts, gaps, w_final
+        return counts.astype(jnp.uint16), gaps, w_final
 
     return jax.jit(kernel)
 

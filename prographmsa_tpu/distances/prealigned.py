@@ -63,16 +63,35 @@ def compute_prealigned_distances(spec, seqs: Dict[str, np.ndarray],
     gapm = {name: spec.is_gap(seqs[name]) for name in order}
 
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    counts_b = np.zeros((len(pairs), spec.DIM, spec.DIM), dtype=np.int64)
-    gaps_b = np.zeros(len(pairs), dtype=np.int64)
     seqlens = np.zeros(len(pairs))
     for k, (i, j) in enumerate(pairs):
-        counts, gaps = _pair_stats(vals[order[i]], gapm[order[i]],
-                                   vals[order[j]], gapm[order[j]],
-                                   spec.DIM, count_bound)
-        counts_b[k] = counts
-        gaps_b[k] = gaps
         seqlens[k] = (len(vals[order[i]]) + len(vals[order[j]])) / 2.0
+
+    counts_b = gaps_b = None
+    from ..engine_policy import use_device_prealigned
+    if use_device_prealigned(options) and pairs:
+        import sys
+        try:
+            from .prealigned_device import pair_stats_device
+            vmat = np.stack([vals[name] for name in order]).astype(np.int32)
+            gmat = np.stack([gapm[name] for name in order])
+            pi = np.fromiter((i for i, _ in pairs), np.int32, len(pairs))
+            pj = np.fromiter((j for _, j in pairs), np.int32, len(pairs))
+            counts_b, gaps_b = pair_stats_device(vmat, gmat, pi, pj,
+                                                 count_bound, spec.DIM)
+        except Exception as e:  # noqa: BLE001 — deterministic host retry
+            print("warning: device prealigned stats failed (%r); "
+                  "recomputing on host" % (e,), file=sys.stderr)
+            counts_b = gaps_b = None
+    if counts_b is None:
+        counts_b = np.zeros((len(pairs), spec.DIM, spec.DIM), dtype=np.int64)
+        gaps_b = np.zeros(len(pairs), dtype=np.int64)
+        for k, (i, j) in enumerate(pairs):
+            counts, gaps = _pair_stats(vals[order[i]], gapm[order[i]],
+                                       vals[order[j]], gapm[order[j]],
+                                       spec.DIM, count_bound)
+            counts_b[k] = counts
+            gaps_b[k] = gaps
     db, vb = compute_distances_batch(counts_b, gaps_b, seqlens, factory,
                                      options, spec.name)
     for k, (i, j) in enumerate(pairs):

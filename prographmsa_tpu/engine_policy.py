@@ -55,6 +55,19 @@ def use_device_nw(options) -> bool:
     return on_tpu()
 
 
+def use_device_prealigned(options) -> bool:
+    """Prealigned pair statistics on device?  The counts GEMM is exact
+    (0/1 bf16 operands, f32 accumulate) and gap openings are an int scan,
+    so unlike the f64 stages this one loses no rounding parity; one ~MB
+    fetch replaces the O(N² L) host pair loop."""
+    eng = getattr(options, "engine", "auto")
+    if eng in ("device", "pallas"):
+        return True
+    if eng in ("native", "numpy"):
+        return False
+    return on_tpu()
+
+
 def use_pallas_dp(options, level_cells: int = 0) -> bool:
     """Graph-pair DP on the fused Pallas kernel?  In auto mode only on TPU
     and only when a level batch is big enough that one ~25 ms fetch beats
