@@ -137,10 +137,24 @@ def compute_ml_dist_batch(c: np.ndarray, gaps: np.ndarray, seqlens: np.ndarray,
             # [DIM, DIM] slice contiguous, so every per-lane operation
             # (slice-wise dgemm, elementwise, per-slice pairwise sum) is the
             # operation the full-batch — and hence the scalar loop — performs.
+            # While most lanes are still active (the first few iterations,
+            # always), the gather copies cost more than the wasted lanes
+            # they avoid — run full-width then and mask the updates instead;
+            # per-lane arithmetic is identical either way.
             a = np.flatnonzero(active)
-            A = len(a)
-            da = dist[a]
-            ca = np.take(c, a, axis=0, out=buf_c[:A])
+            full = 2 * len(a) >= B
+            if full:
+                # compute over every lane, update only the active ones (act)
+                act = a
+                a = np.arange(B)
+                A = B
+                da = dist.copy()
+                ca = c
+            else:
+                act = None
+                A = len(a)
+                da = dist[a]
+                ca = np.take(c, a, axis=0, out=buf_c[:A])
             # parse_distance clamp for the model only (ModelFactory.h:104-127);
             # the Newton iterate itself stays unclamped (parity quirk, see
             # module docstring).
@@ -173,8 +187,6 @@ def compute_ml_dist_batch(c: np.ndarray, gaps: np.ndarray, seqlens: np.ndarray,
                 f = f + g
                 ff = ff + gg
 
-            var[a] = -1.0 / ff
-
             fpos = f > 0
             dmin_new = np.where(fpos, np.maximum(dist_min[a], da), dist_min[a])
             dmax_new = np.where(fpos, dist_max[a], np.minimum(dist_max[a], da))
@@ -185,12 +197,16 @@ def compute_ml_dist_batch(c: np.ndarray, gaps: np.ndarray, seqlens: np.ndarray,
             new_dist = np.where(ok, new_dist, (upper + dmin_new) / 2.0)
             delta = 1.0 - new_dist / da
 
-            dist_min[a] = dmin_new
-            dist_max[a] = dmax_new
-            dist[a] = new_dist
+            if act is not None:     # full-width pass: frozen lanes keep
+                a = act             # their converged values
+            var[a] = -1.0 / ff[a] if act is not None else -1.0 / ff
+            dist_min[a] = dmin_new[a] if act is not None else dmin_new
+            dist_max[a] = dmax_new[a] if act is not None else dmax_new
+            dist[a] = new_dist[a] if act is not None else new_dist
             # NaN delta exits the scalar while-loop too (abs(nan) > eps is
             # False) — reproduced here.
-            active[a] = np.abs(delta) > EPSILON
+            d_upd = delta[a] if act is not None else delta
+            active[a] = np.abs(d_upd) > EPSILON
 
     # iteration > MAXITER fallback (DistanceFactoryML.h:73-81)
     fb_hi = dist_max == np.inf

@@ -57,13 +57,58 @@ def _redux_contiguous(v: np.ndarray, aligned_start: int) -> float:
     return res
 
 
+def _redux_columns(V: np.ndarray, a: int) -> np.ndarray:
+    """_redux_contiguous for every column of V [rows, k] at once, same
+    aligned_start ``a`` for all.  Per-column floating-point operation order
+    is identical to the scalar routine (vectorizing across columns never
+    reorders the adds within a column), so results are bit-identical."""
+    n, k = V.shape
+    body = n - a
+    packet = 2
+    aligned_size = (body // packet) * packet
+    aligned_size2 = (body // (2 * packet)) * (2 * packet)
+    aligned_end = a + aligned_size
+    aligned_end2 = a + aligned_size2
+
+    if aligned_size > packet:
+        blocks = V[a:aligned_end2].reshape(-1, 2, 2, k)     # [nb, 2, 2, k]
+        acc0 = blocks[0, 0].copy()
+        acc1 = blocks[0, 1].copy()
+        for b in range(1, blocks.shape[0]):
+            acc0 += blocks[b, 0]
+            acc1 += blocks[b, 1]
+        acc0 += acc1
+        if aligned_end > aligned_end2:
+            acc0 += V[aligned_end2:aligned_end2 + 2]
+        res = acc0[0] + acc0[1]
+        for i in range(a):
+            res = res + V[i]
+        for i in range(aligned_end, n):
+            res = res + V[i]
+        return res
+    res = V[0].copy()
+    for i in range(1, n):
+        res = res + V[i]
+    return res
+
+
 def eigen_colwise_sum(M: np.ndarray) -> np.ndarray:
-    """colwise().sum() of a col-major heap matrix, Eigen/SSE2 rounding."""
+    """colwise().sum() of a col-major heap matrix, Eigen/SSE2 rounding.
+    Columns share the packet schedule, differing only in aligned_start
+    parity — so the whole matrix reduces in two vectorized groups."""
     rows, cols = M.shape
     out = np.empty(cols, dtype=np.float64)
-    for j in range(cols):
-        aligned_start = (j * rows) % 2
-        out[j] = _redux_contiguous(np.ascontiguousarray(M[:, j]), aligned_start)
+    if cols == 0 or rows == 0:
+        return out
+    Mc = np.asfortranarray(M, dtype=np.float64)
+    if rows % 2 == 0:
+        out[:] = _redux_columns(Mc, 0)
+        return out
+    even = np.arange(0, cols, 2)
+    odd = np.arange(1, cols, 2)
+    out[even] = _redux_columns(Mc[:, even], 0)
+    if odd.size:
+        out[odd] = _redux_columns(Mc[:, odd], 1)
     return out
 
 
