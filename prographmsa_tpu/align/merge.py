@@ -155,9 +155,14 @@ def _graph_from_edge_arrays(nodes: np.ndarray, arrs) -> Graph:
     sites = nodes.astype(np.float64).copy()
     sites[0] = 0.0
     sites[n - 1] = 0.0
-    from ..graph.graph import padded_from_edges
-    return Graph.from_padded(sites, *padded_from_edges(
-        n, e_to, e_from, e_cost, r_to, r_from, r_units))
+    from .. import native
+    padded = native.pad_edges_native(n, e_to, e_from, e_cost,
+                                     r_to, r_from, r_units)
+    if padded is None:
+        from ..graph.graph import padded_from_edges
+        padded = padded_from_edges(n, e_to, e_from, e_cost,
+                                   r_to, r_from, r_units)
+    return Graph.from_padded(sites, *padded)
 
 
 def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,

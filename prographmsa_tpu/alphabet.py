@@ -297,29 +297,21 @@ def translate_codons(seq: np.ndarray) -> np.ndarray:
 def string_from_sequence(spec: AlphabetSpec, seq: np.ndarray, orig: str = None) -> str:
     """stringFromSequence (Alphabet.h:140-169, Alphabet.cpp:227-257):
     restore original characters through gaps."""
+    seq = np.asarray(seq, dtype=np.int16)
     if isinstance(spec, CodonAlphabet):
         if orig is None:
             return spec.decode(seq)
-        out = []
-        k = 0
-        for c in np.asarray(seq, dtype=np.int16):
-            if c == CODON_GAP:
-                out.append(GAP_CHAR * 3)
-            else:
-                out.append(orig[k:k + 3])
-                k += 3
-        assert k == len(orig)
-        return "".join(out)
+        res = np.full((len(seq), 3), ord(GAP_CHAR), dtype=np.uint8)
+        keep = seq != CODON_GAP
+        ob = np.frombuffer(orig.encode("latin-1"), dtype=np.uint8)
+        assert int(keep.sum()) * 3 == len(orig)
+        res[keep] = ob.reshape(-1, 3)
+        return res.tobytes().decode("latin-1")
     if orig is None:
         return spec.decode(seq)
-    out = []
-    k = 0
-    gap = spec.gap_code
-    for c in np.asarray(seq, dtype=np.int16):
-        if c == gap:
-            out.append(GAP_CHAR)
-        else:
-            out.append(orig[k])
-            k += 1
-    assert k == len(orig)
-    return "".join(out)
+    keep = seq != spec.gap_code
+    ob = np.frombuffer(orig.encode("latin-1"), dtype=np.uint8)
+    assert int(keep.sum()) == len(orig)
+    res = np.full(len(seq), ord(GAP_CHAR), dtype=np.uint8)
+    res[keep] = ob
+    return res.tobytes().decode("latin-1")

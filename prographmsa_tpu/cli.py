@@ -205,7 +205,12 @@ def do_align(seqs: Dict[str, str], options: Options):
     result = None
 
     def _progressive(tr):
-        if options.engine == "pallas" and not options.earlyref_flag:
+        # level-synchronous driver for the production engines: batches a
+        # level into one device launch (pallas tier) or threads the native
+        # host kernels across the level's independent pairs.  device/numpy
+        # stay on the sequential recursion (debug/parity tiers).
+        if options.engine in ("auto", "native", "pallas") \
+                and not options.earlyref_flag:
             from .engine.level_driver import progressive_alignment_batched
             return progressive_alignment_batched(spec, seqs2, tr, reps,
                                                  csprofile, factory, options)

@@ -60,11 +60,18 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
         return progressive_alignment(spec, sequences, tree, repeats,
                                      csprofile, factory, options)
 
-    from ..align.graph_dp_pallas import align_pairs_device
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import native
+    from ..engine_policy import use_pallas_dp
     from .progressive import align_graphs
 
     nodes = _collect_nodes(tree)
     results = [None] * len(nodes)
+    nt = native.n_threads()
+    pool = ThreadPoolExecutor(max_workers=nt) if nt > 1 else None
+    if pool is not None:
+        native.lib()  # build/load once before the pool races on it
 
     # leaves (ProgressiveAlignment.h:59-87 / .cpp:12-28)
     for i, (t, c0, c1) in enumerate(nodes):
@@ -95,30 +102,65 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
             items.append((cg1, cg2, model, DynProgScores(cg1, cg2, model,
                                                          options)))
 
-        # one batched kernel launch + one fetch for the level
-        with timings.phase("dp_device"):
-            batch = align_pairs_device(items)
+        # alignment stage for the whole level: one batched kernel launch +
+        # one fetch when the level is big enough for the device tier,
+        # otherwise the native host kernels — threaded across the level's
+        # independent pairs (ctypes releases the GIL, so the C++ fill /
+        # scores / backtrack of different pairs run on separate cores;
+        # results are pure functions of the inputs, so identical to the
+        # sequential order)
+        level_cells = sum(it[0].size * it[1].size for it in items)
+        batch = [None] * len(items)
+        if use_pallas_dp(options, level_cells):
+            from ..align.graph_dp_pallas import align_pairs_device
+            with timings.phase("dp_device"):
+                batch = align_pairs_device(items)
+
+        # per-pair align (host fallback) + merge, both pure functions of the
+        # node's own inputs — sharded across cores for the whole level
+        alns = [None] * len(ready)
+        for k, res in enumerate(batch):
+            if res is not None:
+                from ..align.backtrack import AlignmentResult
+                m1, m2, score, ntr = res
+                alns[k] = AlignmentResult(score=score, n_tr_indels=ntr,
+                                          mapping1=m1, mapping2=m2)
+
+        # the align stage is C-kernel-heavy (ctypes releases the GIL), so
+        # sharding it across cores wins; the merge stage is GIL-bound
+        # Python index surgery, so it stays in the sequential loop below
+        def _align_shard(ks):
+            out = []
+            for k in ks:
+                cg1, cg2 = items[k][0], items[k][1]
+                out.append((k, align_graphs(cg1, cg2, items[k][2],
+                                            options)[0]))
+            return out
+
+        host_idx = [k for k in range(len(ready)) if alns[k] is None]
+        if host_idx:
+            if pool is not None and len(host_idx) > 1:
+                # one coarse task per worker: task-dispatch overhead on a
+                # 2-core host would otherwise eat the concurrency win
+                shards = [host_idx[s::nt] for s in range(nt)]
+                for part in pool.map(_align_shard, shards):
+                    for k, aln in part:
+                        alns[k] = aln
+            else:
+                for k, aln in _align_shard(host_idx):
+                    alns[k] = aln
 
         for k, i in enumerate(ready):
             t, c0, c1 = nodes[i]
             r1, r2 = results[c0], results[c1]
-            res = batch[k]
-            aln = None
-            if res is not None:
-                from ..align.backtrack import AlignmentResult
-                m1, m2, score, ntr = res
-                aln = AlignmentResult(score=score, n_tr_indels=ntr,
-                                      mapping1=m1, mapping2=m2)
-            else:
-                # host fallback for this pair (bucket overflow / repeats)
-                cg1, cg2 = items[k][0], items[k][1]
-                aln, _sc = align_graphs(cg1, cg2, items[k][2], options)
             results[i] = align_progressive_results(
                 r1, r2, t[0].branch_length, t[1].branch_length,
                 t[0].branch_support, t[1].branch_support, factory, options,
-                spec, prealigned=preps[i], aln=aln)
+                spec, prealigned=preps[i], aln=alns[k])
 
         done = set(ready)
         pending = [i for i in pending if i not in done]
 
+    if pool is not None:
+        pool.shutdown(wait=False)
     return results[-1]

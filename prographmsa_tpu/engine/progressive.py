@@ -165,11 +165,23 @@ def prealign_node(r1, r2, distance1, distance2, factory, options):
     return model, model1, model2, cg1, outmap1, cg2, outmap2
 
 
+def merge_node(r1, r2, aln, prealigned, support1, support2, options):
+    """The merge stage of align_progressive_results, split out so the
+    level-batched driver can run independent nodes' merges on separate
+    cores (pure function of the node's own inputs)."""
+    model, model1, model2, cg1, outmap1, cg2, outmap2 = prealigned
+    mapping1 = unclean_mapping(aln.mapping1, outmap1)
+    mapping2 = unclean_mapping(aln.mapping2, outmap2)
+    with timings.phase("merge"):
+        return merge_graphs(r1.graph, r2.graph, mapping1, mapping2,
+                            model1, model2, support1, support2, options)
+
+
 def align_progressive_results(r1, r2, distance1, distance2, support1,
                               support2, factory, options, spec,
-                              prealigned=None, aln=None):
-    """ProgressiveAlignment.h:413-476.  ``prealigned``/``aln`` let the
-    level-batched driver inject the already-computed stage results."""
+                              prealigned=None, aln=None, anc=None):
+    """ProgressiveAlignment.h:413-476.  ``prealigned``/``aln``/``anc`` let
+    the level-batched driver inject the already-computed stage results."""
     result = ProgressiveAlignmentResult()
 
     if prealigned is None:
@@ -185,12 +197,9 @@ def align_progressive_results(r1, r2, distance1, distance2, support1,
     result.profiles.update(r1.profiles)
     result.profiles.update(r2.profiles)
 
-    mapping1 = unclean_mapping(aln.mapping1, outmap1)
-    mapping2 = unclean_mapping(aln.mapping2, outmap2)
-
-    with timings.phase("merge"):
-        anc = merge_graphs(r1.graph, r2.graph, mapping1, mapping2,
-                           model1, model2, support1, support2, options)
+    if anc is None:
+        anc = merge_node(r1, r2, aln, prealigned, support1, support2,
+                         options)
     result.graph = anc.graph
 
     gap_code = spec.gap_code

@@ -438,4 +438,6 @@ def clean_graph(graph: Graph, options):
 
 def unclean_mapping(mapping: List[int], outmapping: np.ndarray) -> List[int]:
     """CleanedGraph::uncleanMapping (CleanedGraph.h:152-160)."""
-    return [int(outmapping[m]) if m != -1 else -1 for m in mapping]
+    m = np.asarray(mapping, dtype=np.int64)
+    out = np.where(m == -1, -1, outmapping[np.maximum(m, 0)])
+    return out.tolist()

@@ -117,6 +117,12 @@ def lib():
                                      f32, f32, i32,
                                      pi32, pi32, pf32, pi32_1,
                                      pi32, pi32, pi32, pi32_1]
+        L.gc_edge_span.restype = i32
+        L.gc_edge_span.argtypes = [i32, i32, pi32, i32, pi32]
+        L.gc_pad_edges.restype = None
+        L.gc_pad_edges.argtypes = [i32, i32, i32, pi32, pi32, pf32,
+                                   i32, pi32, pi32, pi32,
+                                   pi32, pf32, pu8, pi32]
         _lib = L
         return _lib
 
@@ -231,6 +237,33 @@ def unify_native(mode, mapping1, mapping2, sites1, sites2, P1, P2):
     if n < 0:
         raise AssertionError("error in mapping")
     return nodes[:n], m1[:n], m2[:n], matched[:n]
+
+
+def pad_edges_native(n, e_to, e_from, e_cost, r_to, r_from, r_units):
+    """Native padded-array packing of (to, from)-sorted edge arrays —
+    drop-in for graph.padded_from_edges on the merge hot path.  Returns
+    (idx, cost, isrep, units) or None when unavailable; raises on unsorted
+    input like the numpy version's asserts."""
+    L = lib()
+    if L is None:
+        return None
+    et = np.ascontiguousarray(e_to, dtype=np.int32)
+    ef = np.ascontiguousarray(e_from, dtype=np.int32)
+    ec = np.ascontiguousarray(e_cost, dtype=np.float32)
+    rt = np.ascontiguousarray(r_to, dtype=np.int32)
+    rf = np.ascontiguousarray(r_from, dtype=np.int32)
+    ru = np.ascontiguousarray(r_units, dtype=np.int32)
+    E = L.gc_edge_span(n, len(et), _d(et), len(rt), _d(rt))
+    if E < 0:
+        raise AssertionError("edges must be sorted by 'to'")
+    idx = np.empty((n, E), dtype=np.int32)
+    cost = np.empty((n, E), dtype=np.float32)
+    isrep = np.empty((n, E), dtype=bool)
+    units = np.empty((n, E), dtype=np.int32)
+    L.gc_pad_edges(n, E, len(et), _d(et), _d(ef), _d(ec),
+                   len(rt), _d(rt), _d(rf), _d(ru),
+                   _d(idx), _d(cost), _d(isrep), _d(units))
+    return idx, cost, isrep, units
 
 
 def _d(a):

@@ -767,6 +767,64 @@ void gc_merge_edges(int32_t n_nodes,
 }
 
 // ---------------------------------------------------------------------
+// Padded-array packing of (to, from)-sorted edge arrays — the native form
+// of graph.padded_from_edges (normal edges fill each row's leading slots
+// in emission order, repeat edges follow).  gc_edge_span returns the
+// padded width E = max combined degree (>= 1), or -1 if either array is
+// not sorted ascending by 'to' (guard against a future producer with a
+// different emission order).  gc_pad_edges fills idx (-1 pad), cost (+inf
+// pad), isrep (0/1) and units for preallocated [n, E] outputs.
+int32_t gc_edge_span(int32_t n, int32_t ne, const int32_t* e_to,
+                     int32_t nr, const int32_t* r_to) {
+    std::vector<int32_t> cnt((size_t)n, 0);
+    int32_t prev = -1;
+    for (int32_t k = 0; k < ne; ++k) {
+        if (e_to[k] < prev || e_to[k] >= n) return -1;
+        prev = e_to[k];
+        ++cnt[e_to[k]];
+    }
+    prev = -1;
+    for (int32_t k = 0; k < nr; ++k) {
+        if (r_to[k] < prev || r_to[k] >= n) return -1;
+        prev = r_to[k];
+        ++cnt[r_to[k]];
+    }
+    int32_t E = 1;
+    for (int32_t i = 0; i < n; ++i) E = std::max(E, cnt[i]);
+    return E;
+}
+
+void gc_pad_edges(int32_t n, int32_t E,
+                  int32_t ne, const int32_t* e_to, const int32_t* e_from,
+                  const float* e_cost,
+                  int32_t nr, const int32_t* r_to, const int32_t* r_from,
+                  const int32_t* r_units,
+                  int32_t* idx, float* cost, uint8_t* isrep,
+                  int32_t* units) {
+    const float inf = INFINITY;
+    for (size_t s = 0; s < (size_t)n * E; ++s) {
+        idx[s] = -1;
+        cost[s] = inf;
+        isrep[s] = 0;
+        units[s] = 0;
+    }
+    std::vector<int32_t> fill((size_t)n, 0);
+    for (int32_t k = 0; k < ne; ++k) {
+        int32_t to = e_to[k];
+        size_t s = (size_t)to * E + fill[to]++;
+        idx[s] = e_from[k];
+        cost[s] = e_cost[k];
+    }
+    for (int32_t k = 0; k < nr; ++k) {
+        int32_t to = r_to[k];
+        size_t s = (size_t)to * E + fill[to]++;
+        idx[s] = r_from[k];
+        isrep[s] = 1;
+        units[s] = r_units[k];
+    }
+}
+
+// ---------------------------------------------------------------------
 // Average free-edge path length (align/scores.py average_alignment_length;
 // GraphAlign.h:57-96).  preds given as padded idx/cost arrays WITHOUT
 // repeat edges (their cost is +inf under (inf, inf) so they never count).
