@@ -367,9 +367,12 @@ def clean_graph(graph: Graph, options):
             sites = graph.sites[keep].copy()
             sites_order = np.argsort(mapping[keep], kind="stable")
             sites = sites[sites_order]
-            cleaned = Graph.from_padded(
-                sites, *padded_from_edges(new_dim, e_to, e_from, e_cost,
-                                          r_to, r_from, r_units))
+            padded = native.pad_edges_native(new_dim, e_to, e_from, e_cost,
+                                             r_to, r_from, r_units)
+            if padded is None:
+                padded = padded_from_edges(new_dim, e_to, e_from, e_cost,
+                                           r_to, r_from, r_units)
+            cleaned = Graph.from_padded(sites, *padded)
             outmapping = np.flatnonzero(keep).astype(np.int64)[sites_order]
             return cleaned, outmapping
 
