@@ -205,6 +205,24 @@ def do_align(seqs: Dict[str, str], options: Options):
     result = None
 
     def _progressive(tr):
+        if csprofile is not None and spec.name == "aa":
+            # batch every leaf's CS profile in one pass (one windowed
+            # gather + one mixing GEMM) before the tree walk consumes them
+            from . import timings
+            with timings.phase("cs_profile"):
+                leaves = []
+
+                def _walk(node):
+                    if node.is_leaf():
+                        leaves.append((seqs2[node.name],
+                                       factory.get_model(node.branch_length,
+                                                         options)))
+                        return
+                    for ci in range(node.n_children()):
+                        _walk(node[ci])
+
+                _walk(tr)
+                csprofile.prime_profiles(leaves)
         # level-synchronous driver for the production engines: batches a
         # level into one device launch (pallas tier) or threads the native
         # host kernels across the level's independent pairs.  device/numpy

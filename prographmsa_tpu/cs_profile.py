@@ -39,6 +39,7 @@ class CSProfileLibrary:
     (position-weighted log-probs, col 20 = 0), center profiles [K, 20]."""
 
     def __init__(self, filename: str):
+        self._cache = {}
         with open(filename) as f:
             lines = f.read().split("\n")
         it = iter(lines)
@@ -145,30 +146,67 @@ class CSProfileLibrary:
                 break
 
     # ------------------------------------------------------------------
-    def create_profile(self, seq: np.ndarray, model) -> np.ndarray:
-        """createProfile (CSProfile.cpp:175-225).
+    def prime_profiles(self, items) -> None:
+        """Batch-compute the profiles of many (seq, model) leaves in ONE
+        pass — one windowed-gather sweep and one [ΣL, K] @ [K, 20] mixing
+        GEMM instead of per-leaf passes (the reference recomputes each leaf
+        separately, CSProfile.cpp:175) — and cache them for create_profile.
+        float64 throughout: CS profiles feed the S matrices whose rounding
+        decides alignment paths, so this stage stays on the host f64 tier
+        (engine_policy module docstring).
 
-        ``seq``: encoded AA sequence.  Returns [L+2, 20] profile incl. zero
-        sentinels (the reference returns DIM x (L+2); ours is row-major)."""
-        vals = AA_SPEC.values(seq)
-        L = len(vals)
-        tseq = np.where((vals >= 0) & (vals < DIM), vals, DIM).astype(np.int64)
-
+        Leaf windows never cross leaves: each sequence is padded with
+        ``center`` sentinel residues on both sides, so position windows of
+        adjacent leaves only ever overlap the shared sentinel gap."""
+        todo = [(seq, model) for (seq, model) in items
+                if self._key(seq, model) not in self._cache]
+        if not todo:
+            return
         center = self.ncols // 2
-        # windowed residue indices [L, ncols]; out-of-range -> DIM (zero col)
-        pos = np.arange(L)[:, None] + np.arange(-center, center + 1)[None, :]
-        inb = (pos >= 0) & (pos < L)
-        win = np.where(inb, tseq[np.clip(pos, 0, max(L - 1, 0))], DIM)
+        gap = np.full(center, DIM, dtype=np.int64)
+        chunks = []
+        starts = []
+        lens = []
+        off = 0
+        for seq, _model in todo:
+            vals = AA_SPEC.values(seq)
+            t = np.where((vals >= 0) & (vals < DIM), vals,
+                         DIM).astype(np.int64)
+            chunks.append(gap)
+            chunks.append(t)
+            starts.append(off + center)
+            lens.append(len(t))
+            off += center + len(t)
+        chunks.append(gap)
+        big = np.concatenate(chunks)
+        idx = np.concatenate([np.arange(s, s + n)
+                              for s, n in zip(starts, lens)]) \
+            if sum(lens) else np.zeros(0, np.int64)
+        tseq_all = big[idx]
 
-        # pk[i, k] = prior[k] + sum_j lprofiles[k, j, win[i, j]]
-        lp = self.lprofiles.transpose(1, 2, 0)       # [ncols, 21, K]
-        pk = np.zeros((L, self.nprof))
+        win = big[idx[:, None] + np.arange(-center, center + 1)[None, :]]
+        lp = self.lprofiles.transpose(1, 2, 0)          # [ncols, 21, K]
+        pk = np.zeros((len(idx), self.nprof))
         for j in range(self.ncols):
             pk += lp[j][win[:, j]]
         pk += self.priors[None, :]
+        mix = np.exp(pk) @ self.profiles[:, center, :]  # [ΣL, 20]
 
-        mix = np.exp(pk) @ self.profiles[:, center, :]   # [L, 20]
+        pos = 0
+        for (seq, model), n in zip(todo, lens):
+            self._cache[self._key(seq, model)] = self._finalize(
+                mix[pos:pos + n], tseq_all[pos:pos + n], model)
+            pos += n
 
+    def _key(self, seq, model):
+        return (seq.tobytes(), float(model.distance),
+                float(model.divergence))
+
+    def _finalize(self, mix, tseq, model) -> np.ndarray:
+        """Per-position admixture with the observed residue
+        (CSProfile.cpp:204-223); float64 op order identical to the scalar
+        loop."""
+        L = len(tseq)
         tau = model.divergence / 0.8
         profile = np.zeros((L + 2, DIM))
         inv_pi = (1.0 / 20.0) / model.pi
@@ -187,6 +225,34 @@ class CSProfileLibrary:
                     row[c] = 1e-3
                 profile[i + 1] = row * inv_pi
         return profile
+
+    def create_profile(self, seq: np.ndarray, model) -> np.ndarray:
+        """createProfile (CSProfile.cpp:175-225).
+
+        ``seq``: encoded AA sequence.  Returns [L+2, 20] profile incl. zero
+        sentinels (the reference returns DIM x (L+2); ours is row-major)."""
+        cached = self._cache.get(self._key(seq, model))
+        if cached is not None:
+            return cached
+        vals = AA_SPEC.values(seq)
+        L = len(vals)
+        tseq = np.where((vals >= 0) & (vals < DIM), vals, DIM).astype(np.int64)
+
+        center = self.ncols // 2
+        # windowed residue indices [L, ncols]; out-of-range -> DIM (zero col)
+        pos = np.arange(L)[:, None] + np.arange(-center, center + 1)[None, :]
+        inb = (pos >= 0) & (pos < L)
+        win = np.where(inb, tseq[np.clip(pos, 0, max(L - 1, 0))], DIM)
+
+        # pk[i, k] = prior[k] + sum_j lprofiles[k, j, win[i, j]]
+        lp = self.lprofiles.transpose(1, 2, 0)       # [ncols, 21, K]
+        pk = np.zeros((L, self.nprof))
+        for j in range(self.ncols):
+            pk += lp[j][win[:, j]]
+        pk += self.priors[None, :]
+
+        mix = np.exp(pk) @ self.profiles[:, center, :]   # [L, 20]
+        return self._finalize(mix, tseq, model)
 
 
 def cs_sequence_graph(spec, seq: np.ndarray, csprofile: CSProfileLibrary,
