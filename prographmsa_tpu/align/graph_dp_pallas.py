@@ -75,30 +75,29 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
                Sdiag_ref,                    # ANY [DBv, n1p] f32
                C1T_ref,                      # VMEM [o1p, n1p] f32
                C2diag_ref,                   # ANY [DBv, o2p, n1p] f32
-               E1i_ref, E1c_ref, E1r_ref,    # VMEM [n1p, e1p]
-               E2i_ref, E2c_ref, E2r_ref,    # VMEM [n2p, e2p]
-               par_ref,                      # SMEM [16] f32
-               map1_ref, map2_ref,           # out VMEM [1, Lmax] i32
-               meta_ref,                     # out VMEM [1, 16] f32
+               par_ref,                      # SMEM [B, 16] f32 (unblocked)
+               outM_ref, outX_ref, outY_ref, # out VMEM [1, DBv, n1p] f32
+               outW_ref, outSd_ref,          # out VMEM [1, DBv, n1p] f32
                M_ref, X_ref, Y_ref, W_ref,   # scratch [DBv, n1p] f32
                SdV_ref,                      # scratch [DBv, n1p] f32
                ringM, ringX, ringY, ringW):  # scratch [R, n1p] f32
         f32 = jnp.float32
         i32 = jnp.int32
         b = pl.program_id(0)
-        ge = par_ref[0, 0]
-        gi = par_ref[0, 1]
-        sg = par_ref[0, 2]
-        start_init = par_ref[0, 3]
-        end_match = par_ref[0, 4]
-        end_gap = par_ref[0, 5]
-        end_skip = par_ref[0, 6]
+        ge = par_ref[b, 0]
+        gi = par_ref[b, 1]
+        sg = par_ref[b, 2]
+        start_init = par_ref[b, 3]
+        end_match = par_ref[b, 4]
+        end_gap = par_ref[b, 5]
+        end_skip = par_ref[b, 6]
         n1 = scal_ref[b, I_N1]
         n2 = scal_ref[b, I_N2]
 
         ys = jax.lax.broadcasted_iota(i32, (1, n1p), 1)
         lmax_ii = jax.lax.broadcasted_iota(i32, (1, Lmax), 1)
         negrow = jnp.full((1, n1p), NEG)
+
 
         # ---------------- primitives ----------------
         def ring_row(rg, k, valid):
@@ -233,254 +232,23 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             sem2=pltpu.SemaphoreType.DMA(()),
         )
 
-        # ---------------- backtrack ----------------
-        def mval(y, x):
-            return jnp.where((y == 0) & (x == 0), NEG, M_ref[y + x, y])
-
-        def xval(y, x):
-            return jnp.where((y == 0) & (x == 0), NEG, X_ref[y + x, y])
-
-        def yval(y, x):
-            return jnp.where((y == 0) & (x == 0), NEG, Y_ref[y + x, y])
-
-        def wval(y, x):
-            return jnp.where((y == 0) & (x == 0), start_init,
-                             W_ref[y + x, y])
-
-        def sval(y, x):
-            return SdV_ref[y + x, y]
-
-        def resolve_w(ny, nx):
-            w = wval(ny, nx)
-            m = mval(ny, nx)
-            yy = yval(ny, nx)
-            xx = xval(ny, nx)
-            st = jnp.where(w == m, ST_M, jnp.where(w == yy, ST_Y, ST_X))
-            sc = jnp.where(w == m, m, jnp.where(w == yy, yy, xx))
-            return sc, st.astype(i32)
-
-        # Wend (GraphAlign.h:262-280): pure max — order-free, all finite
-        def end_scan():
-            Wend = f32(FLOOR)
-            for a in range(e1p):
-                yp = E1i_ref[0, n1 - 1, a]
-                cy = E1c_ref[0, n1 - 1, a]
-                va = yp >= 0
-                ypc = jnp.maximum(yp, 0)
-                for bb in range(e2p):
-                    xp = E2i_ref[0, n2 - 1, bb]
-                    cx = E2c_ref[0, n2 - 1, bb]
-                    vb = va & (xp >= 0)
-                    xpc = jnp.maximum(xp, 0)
-                    both0 = (ypc == 0) & (xpc == 0)
-                    m = mval(ypc, xpc)
-                    yy = yval(ypc, xpc)
-                    xx = xval(ypc, xpc)
-                    cand = jnp.fmax(
-                        jnp.fmax(f32(((xx + end_gap) - cy) - cx),
-                                 f32(((yy + end_gap) - cy) - cx)),
-                        f32(((m + end_match) - cy) - cx))
-                    cand = jnp.where(both0,
-                                     jnp.fmax(cand, f32((end_skip - cy) - cx)),
-                                     cand)
-                    Wend = jnp.where(vb, jnp.fmax(cand, Wend), Wend)
-            return Wend
-
-        Wend = end_scan()
-
-        # end transition (GraphAlign.h:304-353): min |Wend - cand| in
-        # PredIterator order, strict improvement
-        def end_transition():
-            best = f32(BIG)
-            sel_y = i32(0)
-            sel_x = i32(0)
-            sel_state = i32(ST_M)
-            sel_score = f32(NEG)
-            sel_rep = i32(0)
-            for a in range(e1p):
-                yp = E1i_ref[0, n1 - 1, a]
-                cy = E1c_ref[0, n1 - 1, a]
-                ra = E1r_ref[0, n1 - 1, a]
-                va = yp >= 0
-                ypc = jnp.maximum(yp, 0)
-                for bb in range(e2p):
-                    xp = E2i_ref[0, n2 - 1, bb]
-                    cx = E2c_ref[0, n2 - 1, bb]
-                    rb = E2r_ref[0, n2 - 1, bb]
-                    vb = va & (xp >= 0)
-                    xpc = jnp.maximum(xp, 0)
-                    m = mval(ypc, xpc)
-                    yy = yval(ypc, xpc)
-                    xx = xval(ypc, xpc)
-                    rep = jnp.where(ra + rb > 0, 1, 0).astype(i32)
-                    for base_val, st in ((m + end_match, ST_M),
-                                         (yy + end_gap, ST_Y),
-                                         (xx + end_gap, ST_X)):
-                        d_ = jnp.abs(f32(Wend - f32((base_val - cy) - cx)))
-                        take = vb & (best > d_)
-                        best = jnp.where(take, d_, best)
-                        sel_y = jnp.where(take, ypc, sel_y)
-                        sel_x = jnp.where(take, xpc, sel_x)
-                        sel_state = jnp.where(take, st, sel_state)
-                        sel_score = jnp.where(
-                            take, jnp.where(st == ST_M, m,
-                                            jnp.where(st == ST_Y, yy, xx)),
-                            sel_score)
-                        sel_rep = jnp.where(take, rep, sel_rep)
-                    both0 = (ypc == 0) & (xpc == 0)
-                    d_ = jnp.abs(f32(Wend - f32((end_skip - cy) - cx)))
-                    take = vb & both0 & (best > d_)
-                    best = jnp.where(take, d_, best)
-                    sel_y = jnp.where(take, ypc, sel_y)
-                    sel_x = jnp.where(take, xpc, sel_x)
-                    sel_rep = jnp.where(take, rep, sel_rep)
-            return sel_y, sel_x, sel_state, sel_score, sel_rep
-
-        y0, x0, st0, sc0, rep0 = end_transition()
-
-        # mapping entries are written in traceback (reverse) order via
-        # full-row where-writes (no scalar VMEM stores needed); host flips
-        map1_ref[0:1, :] = jnp.full((1, Lmax), -2, i32)
-        map2_ref[0:1, :] = jnp.full((1, Lmax), -2, i32)
-
-        def push_row(ref, pos, val, valid):
-            ref[0:1, :] = jnp.where(valid & (lmax_ii == pos), val,
-                                    ref[0:1, :])
-
-        def push(pos, y, x, valid):
-            push_row(map1_ref, pos, y, valid)
-            push_row(map2_ref, pos, x, valid)
-            return jnp.where(valid, pos + 1, pos)
-
-        def push_state(pos, y, x, st, valid):
-            e1 = jnp.where(st == ST_X, -1, y)
-            e2 = jnp.where(st == ST_Y, -1, x)
-            return push(pos, e1, e2, valid)
-
-        pos0 = push(i32(0), n1 - 1, n2 - 1, True)
-        live0 = (x0 != 0) | (y0 != 0)
-        pos1 = push_state(pos0, y0, x0, st0, live0)
-
-        def bt_cond(s):
-            y, x, st, sc, pos, fail, it = s
-            return ((y != 0) | (x != 0)) & (~fail) & (it < Lmax)
-
-        def bt_body(s):
-            # The host resolves the W-state (resolve_w_state) at every
-            # winning candidate, but only the LAST non-origin winner's
-            # resolution survives the step, and resolve is a pure function
-            # of the chosen cell — so it is hoisted to one call after the
-            # candidate scans (n_rw tracks whether the winner needs it).
-            y, x, st, sc, pos, fail, it = s
-            best = f32(BIG)
-            n_y = i32(0)
-            n_x = i32(0)
-            n_st = i32(ST_M)
-            n_sc = f32(NEG)
-            n_rep = i32(0)
-            n_rw = i32(0)
-
-            # STATE_Y (host: backtrack.py:140-155)
-            for a in range(e1p):
-                yp = E1i_ref[0, y, a]
-                cy = E1c_ref[0, y, a]
-                ra = E1r_ref[0, y, a]
-                va = (st == ST_Y) & (yp >= 0) & (cy < COST_INF)
-                ypc = jnp.maximum(yp, 0)
-                yy = yval(ypc, x)
-                ww = wval(ypc, x)
-                d_ = jnp.abs(f32(sc - f32((yy + ge) - cy)))
-                take = va & (best > d_)
-                best = jnp.where(take, d_, best)
-                n_y = jnp.where(take, ypc, n_y)
-                n_x = jnp.where(take, x, n_x)
-                n_st = jnp.where(take, i32(ST_Y), n_st)
-                n_sc = jnp.where(take, yy, n_sc)
-                n_rep = jnp.where(take, ra, n_rep)
-                n_rw = jnp.where(take, i32(0), n_rw)
-                d_ = jnp.abs(f32(sc - f32((ww + gi) - cy)))
-                take = va & (best > d_)
-                best = jnp.where(take, d_, best)
-                n_y = jnp.where(take, ypc, n_y)
-                n_x = jnp.where(take, x, n_x)
-                n_rep = jnp.where(take, ra, n_rep)
-                n_rw = jnp.where(take, i32(1), n_rw)
-
-            # STATE_X (backtrack.py:157-172)
-            for bb in range(e2p):
-                xp = E2i_ref[0, x, bb]
-                cx = E2c_ref[0, x, bb]
-                rb = E2r_ref[0, x, bb]
-                vb = (st == ST_X) & (xp >= 0) & (cx < COST_INF)
-                xpc = jnp.maximum(xp, 0)
-                xx = xval(y, xpc)
-                ww = wval(y, xpc)
-                d_ = jnp.abs(f32(sc - f32((xx + ge) - cx)))
-                take = vb & (best > d_)
-                best = jnp.where(take, d_, best)
-                n_y = jnp.where(take, y, n_y)
-                n_x = jnp.where(take, xpc, n_x)
-                n_st = jnp.where(take, i32(ST_X), n_st)
-                n_sc = jnp.where(take, xx, n_sc)
-                n_rep = jnp.where(take, rb, n_rep)
-                n_rw = jnp.where(take, i32(0), n_rw)
-                d_ = jnp.abs(f32(sc - f32((ww + gi) - cx)))
-                take = vb & (best > d_)
-                best = jnp.where(take, d_, best)
-                n_y = jnp.where(take, y, n_y)
-                n_x = jnp.where(take, xpc, n_x)
-                n_rep = jnp.where(take, rb, n_rep)
-                n_rw = jnp.where(take, i32(1), n_rw)
-
-            # STATE_M (backtrack.py:174-185)
-            Sv = sval(jnp.maximum(y, 0), jnp.maximum(x, 0))
-            for a in range(e1p):
-                yp = E1i_ref[0, y, a]
-                cy = E1c_ref[0, y, a]
-                ra = E1r_ref[0, y, a]
-                va = (st == ST_M) & (yp >= 0) & (cy < COST_INF)
-                ypc = jnp.maximum(yp, 0)
-                for bb in range(e2p):
-                    xp = E2i_ref[0, x, bb]
-                    cx = E2c_ref[0, x, bb]
-                    rb = E2r_ref[0, x, bb]
-                    vb = va & (xp >= 0) & (cx < COST_INF)
-                    xpc = jnp.maximum(xp, 0)
-                    ww = wval(ypc, xpc)
-                    d_ = jnp.abs(f32(sc - f32(((ww + Sv) - cy) - cx)))
-                    take = vb & (best > d_)
-                    best = jnp.where(take, d_, best)
-                    n_y = jnp.where(take, ypc, n_y)
-                    n_x = jnp.where(take, xpc, n_x)
-                    n_rep = jnp.where(take,
-                                      jnp.where(ra + rb > 0, 1, 0), n_rep)
-                    n_rw = jnp.where(take, i32(1), n_rw)
-
-            rs, rst = resolve_w(n_y, n_x)
-            use = (n_rw > 0) & ((n_y != 0) | (n_x != 0)) & (best < BIG)
-            n_st = jnp.where(use, rst, n_st)
-            n_sc = jnp.where(use, rs, n_sc)
-
-            fail = fail | (n_rep > 0) | (best >= BIG)
-            live = (n_x != 0) | (n_y != 0)
-            pos = push_state(pos, n_y, n_x, n_st, live & ~fail)
-            return (n_y, n_x, n_st, n_sc, pos, fail, it + 1)
-
-        y_f, x_f, st_f, sc_f, pos_f, fail_f, _ = jax.lax.while_loop(
-            bt_cond, bt_body,
-            (y0, x0, st0.astype(i32), sc0, pos1, rep0 > 0, i32(0)))
-
-        posF = push(pos_f, i32(0), i32(0), ~fail_f)
-
-        ii16 = jax.lax.broadcasted_iota(i32, (1, 16), 1)
-        meta = jnp.where(ii16 == META_SCORE, Wend, f32(0))
-        meta = jnp.where(ii16 == META_LEN, posF.astype(f32), meta)
-        meta = jnp.where(ii16 == META_FAIL, fail_f.astype(f32), meta)
-        meta_ref[0:1, :] = meta
+        # ---------------- emit planes ----------------
+        # The traceback CANNOT run in this kernel on the current toolchain:
+        # Mosaic refuses every dynamic-lane scalar VMEM read ("cannot
+        # statically prove that index in dimension 1 is a multiple of
+        # 128"), and dynamic sublane vector reads hang (probed, module
+        # docstring) — and the traceback is nothing but data-dependent
+        # cell reads.  So the kernel emits the five diagonal-major planes
+        # (one static bulk copy each) and the traceback runs as a batched
+        # XLA loop over them (_make_bt) WITHOUT leaving the device; only
+        # the mapping vectors are fetched, as before.
+        outM_ref[0, :, :] = M_ref[:, :]
+        outX_ref[0, :, :] = X_ref[:, :]
+        outY_ref[0, :, :] = Y_ref[:, :]
+        outW_ref[0, :, :] = W_ref[:, :]
+        outSd_ref[0, :, :] = SdV_ref[:, :]
 
     # --------------- pallas_call wiring ---------------
-    Lmax = n1p + n2p
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -489,39 +257,21 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             pl.BlockSpec((1, o1p, n1p), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),      # C2diag (DMA'd)
-            pl.BlockSpec((1, n1p, e1p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1p, e1p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1p, e1p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2p, e2p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2p, e2p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2p, e2p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda b, s: (b, 0),
-                         memory_space=pltpu.SMEM),
+            # whole-array SMEM (B x 16 floats, indexed by program_id):
+            # a (1, 16) *block* over a [B, 16] array violates Mosaic's
+            # block-tiling rule for B > 1 (last two dims must tile (8, 128)
+            # or equal the array dims) — unblocked SMEM has no such rule
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lmax), lambda b, s: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lmax), lambda b, s: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda b, s: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((((D + 7) // 8) * 8 + 8, n1p),
-                                   jnp.float32)] * 5
+            pl.BlockSpec((1, DBv, n1p), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 5,
+        scratch_shapes=[pltpu.VMEM((DBv, n1p), jnp.float32)] * 5
         + [pltpu.VMEM((ring, n1p), jnp.float32)] * 4,
     )
 
-    out_shape = [
-        jax.ShapeDtypeStruct((B, Lmax), jnp.int32),
-        jax.ShapeDtypeStruct((B, Lmax), jnp.int32),
-        jax.ShapeDtypeStruct((B, 16), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((B, DBv, n1p), jnp.float32)] * 5
 
     call = pl.pallas_call(
         kernel,
@@ -532,6 +282,278 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             vmem_limit_bytes=110 * 1024 * 1024)),
     )
     return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_bt(e1p: int, e2p: int, Lmax: int):
+    """Batched on-device traceback over the fill kernel's diagonal planes.
+
+    Mosaic cannot lower the traceback (every step is a data-dependent
+    dynamic-lane VMEM read, which this toolchain rejects outright), so it
+    runs as ordinary XLA under jit, vectorized over the batch: each step
+    evaluates every candidate transition of the current state at once and
+    takes the FIRST argmin of |stored - candidate| — exactly the host
+    scan\'s strict-improvement rule (a later candidate wins only when
+    strictly better, so the winner is the first minimum in PredIterator
+    order; align/backtrack.py, GraphAlign.h:283-517).  All arithmetic is
+    the same f32 adds/subs as the host path, so mappings are
+    byte-identical.  Nothing O(n1*n2) leaves the device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    NEGc = jnp.float32(NEG)
+    BIGc = jnp.float32(BIG)
+
+    def bt(scal, E1i, E1c, E1r, E2i, E2c, E2r, par, PM, PX, PY, PW, PS,
+           n1b, n2b):
+        B = n1b.shape[0]
+        bidx = jnp.arange(B)
+        ge, gi = par[:, 0], par[:, 1]
+        start_init = par[:, 3]
+        end_match, end_gap, end_skip = par[:, 4], par[:, 5], par[:, 6]
+        ae1 = jnp.arange(e1p)
+        ae2 = jnp.arange(e2p)
+
+        def cellv(P, d, y):
+            """P[b, d_b..., y_b...] for index arrays broadcast over b."""
+            bb = bidx.reshape((B,) + (1,) * (d.ndim - 1))
+            return P[bb, d, y]
+
+        def mval(y, x):
+            return jnp.where((y == 0) & (x == 0), NEGc, cellv(PM, y + x, y))
+
+        def xval(y, x):
+            return jnp.where((y == 0) & (x == 0), NEGc, cellv(PX, y + x, y))
+
+        def yval(y, x):
+            return jnp.where((y == 0) & (x == 0), NEGc, cellv(PY, y + x, y))
+
+        def wval(y, x):
+            si = start_init.reshape((B,) + (1,) * (y.ndim - 1))
+            return jnp.where((y == 0) & (x == 0), si, cellv(PW, y + x, y))
+
+        def sval(y, x):
+            return cellv(PS, y + x, y)
+
+        def resolve_w(ny, nx):
+            w = wval(ny, nx)
+            m = mval(ny, nx)
+            yy = yval(ny, nx)
+            xx = xval(ny, nx)
+            st = jnp.where(w == m, ST_M, jnp.where(w == yy, ST_Y, ST_X))
+            sc = jnp.where(w == m, m, jnp.where(w == yy, yy, xx))
+            return sc, st.astype(i32)
+
+        def edges1(y):
+            """All e1p edge slots of node y per pair: ([B,e1p] idx, cost,
+            rep)."""
+            return (E1i[bidx[:, None], y[:, None], ae1[None, :]],
+                    E1c[bidx[:, None], y[:, None], ae1[None, :]],
+                    E1r[bidx[:, None], y[:, None], ae1[None, :]])
+
+        def edges2(x):
+            return (E2i[bidx[:, None], x[:, None], ae2[None, :]],
+                    E2c[bidx[:, None], x[:, None], ae2[None, :]],
+                    E2r[bidx[:, None], x[:, None], ae2[None, :]])
+
+        yend, xend = n1b - 1, n2b - 1
+        E1iE, E1cE, E1rE = edges1(yend)
+        E2iE, E2cE, E2rE = edges2(xend)
+        yE = jnp.maximum(E1iE, 0)[:, :, None]            # [B, e1p, 1]
+        xE = jnp.maximum(E2iE, 0)[:, None, :]            # [B, 1, e2p]
+        cyE = E1cE[:, :, None]
+        cxE = E2cE[:, None, :]
+        vE = (E1iE >= 0)[:, :, None] & (E2iE >= 0)[:, None, :]
+        yEb = jnp.broadcast_to(yE, (B, e1p, e2p))
+        xEb = jnp.broadcast_to(xE, (B, e1p, e2p))
+        mE = mval(yEb, xEb)
+        yyE = yval(yEb, xEb)
+        xxE = xval(yEb, xEb)
+        both0E = (yEb == 0) & (xEb == 0)
+        em = end_match[:, None, None]
+        eg = end_gap[:, None, None]
+        es = end_skip[:, None, None]
+
+        # Wend (GraphAlign.h:262-280): pure max — order-free, all finite
+        candE = jnp.fmax(jnp.fmax(((xxE + eg) - cyE) - cxE,
+                                  ((yyE + eg) - cyE) - cxE),
+                         ((mE + em) - cyE) - cxE)
+        candE = jnp.where(both0E, jnp.fmax(candE, (es - cyE) - cxE), candE)
+        candE = jnp.where(vE, candE, FLOOR)
+        Wend = jnp.fmax(jnp.full(B, FLOOR),
+                        candE.reshape(B, -1).max(axis=1))
+
+        # end transition (GraphAlign.h:304-353): first argmin of
+        # |Wend - candidate| in scan order (a, bb, [M, Y, X, skip])
+        Wb = Wend[:, None, None]
+        dM = jnp.abs(Wb - (((mE + em) - cyE) - cxE))
+        dY = jnp.abs(Wb - (((yyE + eg) - cyE) - cxE))
+        dX = jnp.abs(Wb - (((xxE + eg) - cyE) - cxE))
+        dS = jnp.abs(Wb - ((es - cyE) - cxE))
+        cand4 = jnp.stack([dM, dY, dX, dS], axis=3)      # [B,e1p,e2p,4]
+        v4 = jnp.stack([vE, vE, vE, vE & both0E], axis=3)
+        cand4 = jnp.where(v4, cand4, BIGc).reshape(B, -1)
+        k0 = jnp.argmin(cand4, axis=1).astype(i32)       # first minimum
+        bestE = jnp.take_along_axis(cand4, k0[:, None], axis=1)[:, 0]
+        t0_ = k0 % 4
+        ab0 = k0 // 4
+        a0_ = ab0 // e2p
+        b0_ = ab0 % e2p
+        flat = lambda A: A.reshape(B, -1)
+        pick = lambda A, k: jnp.take_along_axis(flat(A), k[:, None],
+                                                axis=1)[:, 0]
+        y0 = jnp.where(bestE < BIGc, pick(yEb, ab0), 0).astype(i32)
+        x0 = jnp.where(bestE < BIGc, pick(xEb, ab0), 0).astype(i32)
+        rep0 = jnp.where(bestE < BIGc,
+                         (pick(E1rE[:, :, None] + E2rE[:, None, :], ab0)
+                          > 0).astype(i32), 0)
+        st0 = jnp.where(t0_ == 0, ST_M,
+                        jnp.where(t0_ == 1, ST_Y, ST_X)).astype(i32)
+        sc0 = jnp.where(t0_ == 0, pick(mE, ab0),
+                        jnp.where(t0_ == 1, pick(yyE, ab0), pick(xxE, ab0)))
+        # a winning skip candidate drives (y0, x0) to the origin, so
+        # st0/sc0 are never consumed (live0 below is False) — any value ok
+
+        lmax_ii = jnp.arange(Lmax)
+        map1 = jnp.full((B, Lmax), -2, i32)
+        map2 = jnp.full((B, Lmax), -2, i32)
+
+        def push(maps, pos, y, x, valid):
+            m1, m2 = maps
+            sel = valid[:, None] & (lmax_ii[None, :] == pos[:, None])
+            m1 = jnp.where(sel, y[:, None], m1)
+            m2 = jnp.where(sel, x[:, None], m2)
+            return (m1, m2), jnp.where(valid, pos + 1, pos)
+
+        def push_state(maps, pos, y, x, st, valid):
+            e1_ = jnp.where(st == ST_X, -1, y)
+            e2_ = jnp.where(st == ST_Y, -1, x)
+            return push(maps, pos, e1_, e2_, valid)
+
+        maps, pos0 = push((map1, map2), jnp.zeros(B, i32), yend, xend,
+                          jnp.ones(B, bool))
+        live0 = (x0 != 0) | (y0 != 0)
+        maps, pos1 = push_state(maps, pos0, y0, x0, st0, live0)
+
+        def bt_cond(s):
+            y, x, st, sc, pos, fail, it, maps = s
+            return jnp.any(((y != 0) | (x != 0)) & (~fail)) & (it < Lmax)
+
+        def bt_body(s):
+            y, x, st, sc, pos, fail, it, maps = s
+            act = ((y != 0) | (x != 0)) & (~fail)
+            scb = sc[:, None]
+
+            e1i, e1c, e1r = edges1(y)
+            e2i, e2c, e2r = edges2(x)
+            yp = jnp.maximum(e1i, 0)
+            xp = jnp.maximum(e2i, 0)
+            v1 = act[:, None] & (e1i >= 0) & (e1c < COST_INF)
+            v2 = act[:, None] & (e2i >= 0) & (e2c < COST_INF)
+
+            # STATE_Y (host: backtrack.py:140-155): per a, candidates
+            # [yy-move, ww-move] in that order
+            yyv = yval(yp, x[:, None])
+            wwv = wval(yp, x[:, None])
+            dY1 = jnp.abs(scb - ((yyv + ge[:, None]) - e1c))
+            dY2 = jnp.abs(scb - ((wwv + gi[:, None]) - e1c))
+            vY = (st == ST_Y)[:, None] & v1
+            candY = jnp.where(vY[:, :, None],
+                              jnp.stack([dY1, dY2], axis=2),
+                              BIGc).reshape(B, -1)     # [B, 2*e1p]
+            kY = jnp.argmin(candY, axis=1).astype(i32)
+            bestY = jnp.take_along_axis(candY, kY[:, None], axis=1)[:, 0]
+            aY = kY // 2
+            yY = jnp.take_along_axis(yp, aY[:, None], axis=1)[:, 0]
+            repY = jnp.take_along_axis(e1r, aY[:, None], axis=1)[:, 0]
+            rwY = kY % 2
+            scY = jnp.take_along_axis(yyv, aY[:, None], axis=1)[:, 0]
+
+            # STATE_X (backtrack.py:157-172)
+            xxv = xval(y[:, None], xp)
+            wwx = wval(y[:, None], xp)
+            dX1 = jnp.abs(scb - ((xxv + ge[:, None]) - e2c))
+            dX2 = jnp.abs(scb - ((wwx + gi[:, None]) - e2c))
+            vX = (st == ST_X)[:, None] & v2
+            candX = jnp.where(vX[:, :, None],
+                              jnp.stack([dX1, dX2], axis=2),
+                              BIGc).reshape(B, -1)
+            kX = jnp.argmin(candX, axis=1).astype(i32)
+            bestX = jnp.take_along_axis(candX, kX[:, None], axis=1)[:, 0]
+            aX = kX // 2
+            xX = jnp.take_along_axis(xp, aX[:, None], axis=1)[:, 0]
+            repX = jnp.take_along_axis(e2r, aX[:, None], axis=1)[:, 0]
+            rwX = kX % 2
+            scX = jnp.take_along_axis(xxv, aX[:, None], axis=1)[:, 0]
+
+            # STATE_M (backtrack.py:174-185): (a, bb) scan order
+            Sv = sval(jnp.maximum(y, 0), jnp.maximum(x, 0))
+            ypm = jnp.broadcast_to(yp[:, :, None], (B, e1p, e2p))
+            xpm = jnp.broadcast_to(xp[:, None, :], (B, e1p, e2p))
+            wwm = wval(ypm, xpm)
+            dMc = jnp.abs(scb[:, :, None]
+                          - (((wwm + Sv[:, None, None]) - e1c[:, :, None])
+                             - e2c[:, None, :]))
+            vM = ((st == ST_M)[:, None, None] & v1[:, :, None]
+                  & v2[:, None, :])
+            candM = jnp.where(vM, dMc, BIGc).reshape(B, -1)
+            kM = jnp.argmin(candM, axis=1).astype(i32)
+            bestM = jnp.take_along_axis(candM, kM[:, None], axis=1)[:, 0]
+            aM = kM // e2p
+            bM = kM % e2p
+            yM = jnp.take_along_axis(yp, aM[:, None], axis=1)[:, 0]
+            xM = jnp.take_along_axis(xp, bM[:, None], axis=1)[:, 0]
+            repM = ((jnp.take_along_axis(e1r, aM[:, None], axis=1)[:, 0]
+                     + jnp.take_along_axis(e2r, bM[:, None], axis=1)[:, 0])
+                    > 0).astype(i32)
+
+            # combine: exactly one state scan is live per lane
+            isY = st == ST_Y
+            isX = st == ST_X
+            best = jnp.where(isY, bestY, jnp.where(isX, bestX, bestM))
+            n_y = jnp.where(isY, yY, jnp.where(isX, y, yM))
+            n_x = jnp.where(isY, x, jnp.where(isX, xX, xM))
+            n_st = jnp.where(isY, ST_Y, jnp.where(isX, ST_X, ST_M))
+            n_sc = jnp.where(isY, scY, jnp.where(isX, scX, NEGc))
+            n_rep = jnp.where(isY, repY, jnp.where(isX, repX, repM))
+            n_rw = jnp.where(isY, rwY, jnp.where(isX, rwX, 1)).astype(i32)
+            found = best < BIGc
+            n_y = jnp.where(found, n_y, 0)
+            n_x = jnp.where(found, n_x, 0)
+
+            rs, rst = resolve_w(n_y, n_x)
+            use = (n_rw > 0) & ((n_y != 0) | (n_x != 0)) & found
+            n_st = jnp.where(use, rst, n_st)
+            n_sc = jnp.where(use, rs, n_sc)
+
+            n_fail = fail | (act & ((n_rep > 0) | (~found)))
+            live = (n_x != 0) | (n_y != 0)
+            maps, pos = push_state(maps, pos, n_y, n_x, n_st,
+                                   act & live & ~n_fail)
+            # frozen lanes keep their final state
+            n_y = jnp.where(act, n_y, y)
+            n_x = jnp.where(act, n_x, x)
+            n_st = jnp.where(act, n_st, st)
+            n_sc = jnp.where(act, n_sc, sc)
+            return (n_y, n_x, n_st, n_sc, pos, n_fail, it + 1, maps)
+
+        y_f, x_f, st_f, sc_f, pos_f, fail_f, _, maps = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (y0, x0, st0, sc0, pos1, rep0 > 0, i32(0), maps))
+
+        maps, posF = push(maps, pos_f, jnp.zeros(B, i32), jnp.zeros(B, i32),
+                          ~fail_f)
+        m1, m2 = maps
+        meta = jnp.zeros((B, 16), jnp.float32)
+        meta = meta.at[:, META_SCORE].set(Wend)
+        meta = meta.at[:, META_LEN].set(posF.astype(jnp.float32))
+        meta = meta.at[:, META_FAIL].set(fail_f.astype(jnp.float32))
+        return m1, m2, meta
+
+    return jax.jit(bt)
+
 
 
 def _true_edges_padded(graph, scores, n_pad: int, e_pad: int):
@@ -687,6 +709,9 @@ def _jit_pack():
     import jax.numpy as jnp
 
     def pack(m1, m2, meta):
+        m1 = m1.reshape(m1.shape[0], -1)
+        m2 = m2.reshape(m2.shape[0], -1)
+        meta = meta.reshape(meta.shape[0], -1)
         mi = jax.lax.bitcast_convert_type(meta, jnp.int32)
         return jnp.concatenate([m1, m2, mi], axis=1)
 
@@ -792,14 +817,41 @@ def align_pairs_device(items, interpret=None, s_mode="auto"):
             return jnp.asarray(np.stack([preps[i][key] for i in idxs]))
         return jnp.asarray(np.stack([preps[i][key][sub] for i in idxs]))
 
+    import time as _time
+    dbg = os.environ.get("PROGRAPHMSA_PALLAS_DEBUG", "0") == "1"
+    t_mark = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal t_mark
+        if dbg:
+            now = _time.perf_counter()
+            print("pallas-batch %-10s %.3f s" % (label, now - t_mark),
+                  flush=True)
+            t_mark = now
+
+    _mark("prologue")
     kern = _make_kernel(B, n1p, n2p, buckets["o1p"], buckets["o2p"],
                         buckets["e1p"], buckets["e2p"], buckets["ring"],
                         interpret)
-    m1, m2, meta = kern(stack("scal"), Sdiag, stack("C1T"), C2diag,
-                        stack("E1", 0), stack("E1", 1), stack("E1", 2),
-                        stack("E2", 0), stack("E2", 1), stack("E2", 2),
-                        stack("par"))
+    scal_d = stack("scal")
+    par_d = stack("par")
+    C1T_d = stack("C1T")
+    E_d = (stack("E1", 0), stack("E1", 1), stack("E1", 2),
+           stack("E2", 0), stack("E2", 1), stack("E2", 2))
+    _mark("upload")
+    PM, PX, PY, PW, PS = kern(scal_d, Sdiag, C1T_d, C2diag, par_d)
+    if dbg:
+        PW.block_until_ready()
+    _mark("fill")
     Lmax = n1p + n2p
+    bt = _make_bt(buckets["e1p"], buckets["e2p"], Lmax)
+    n1b = np.array([preps[i]["n1"] for i in idxs], np.int32)
+    n2b = np.array([preps[i]["n2"] for i in idxs], np.int32)
+    m1, m2, meta = bt(scal_d, *E_d, par_d, PM, PX, PY, PW, PS,
+                      jnp.asarray(n1b), jnp.asarray(n2b))
+    if dbg:
+        meta.block_until_ready()
+    _mark("backtrack")
     packed = np.asarray(_jit_pack()(m1, m2, meta))      # ONE fetch
     m1h = packed[:, :Lmax]
     m2h = packed[:, Lmax:2 * Lmax]
