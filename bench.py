@@ -1,38 +1,47 @@
 #!/usr/bin/env python
-"""Benchmark against the reference binary on the BASELINE workload.
+"""Benchmark against the reference binary on the BASELINE workloads.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} and writes
 BENCH_DETAIL.json with every sub-measurement.
 
-Workload: the 100-sequence family, fixed guide tree (BASELINE.json's
-"wall-clock to reference-identical MSA on a 100-seq family").
+Workloads (both on the 100-sequence family, per BASELINE.json):
+  * fixed tree  — ``-t tree0 -i 0``: the progressive-alignment core alone
+    (99 graph-pair DP + merge).
+  * free tree   — ``--mldist --nwdist``: the full default pipeline, three
+    guide-tree iterations; distances dominate.
 
-* value  = graph-pair DP fill rate (cells/s) on the production engine over
-  the REAL 99 node-pair workloads of that run, counting ACTUAL |g1|*|g2|
-  cells (no padding inflation on either side).
-* vs_baseline = like-for-like END-TO-END ratio: reference binary wall-clock
-  divided by our in-process do_align wall-clock for the identical run
-  (> 1 means faster than the reference).  This deliberately counts all of
-  our Python orchestration against us rather than comparing our kernel time
-  to the reference's total (the round-1 inflation this replaces).
-* Output identity vs the reference is asserted, not assumed.
+Measurement method (recorded, not hidden):
+  * ours  = median of 3 warm in-process ``do_align`` calls after a warm-up
+    (JIT/native caches hot; the first timed call is also recorded as
+    ``*_first_s`` so warm-up effects stay visible).  In-process excludes
+    the ~2.1 s Python interpreter startup of this box — the reference is a
+    C++ binary with no comparable cost, and a long-running service pays
+    the import once.
+  * ref   = median of 3 cold subprocess invocations of the oracle binary
+    (its process startup is ~ms).
+  * vs_baseline = min(fixed-tree ratio, free-tree ratio), each ratio =
+    ref_wall / our_wall (> 1 means we are faster on BOTH workloads).
+  * Output identity vs the reference binary is asserted on both workloads.
 
-The all-pairs NW distance kernel (the --nwdist O(N^2 L^2) hot loop) is
-measured on the device into BENCH_DETAIL.json, also in actual cells.
+Also recorded: graph-pair DP fill rate on the native tier and the fused
+Pallas batch (actual |g1|*|g2| cells of the real 99-pair workload, no
+padding inflation), and the all-pairs NW device kernel rate vs the
+reference's --nwdist stage upper bound.
 """
 
+import io as _io
 import json
 import os
 import subprocess
 import sys
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.abspath(__file__))
 REF_BIN = "/root/reference/bin/ProGraphMSA_64"
 FIXTURE = os.path.join(REPO, "fixtures", "fam100.fasta")
 TREE = os.path.join(REPO, "fixtures", "golden", "tree0_fam100.nwk")
@@ -47,73 +56,117 @@ def _median_wall(cmd, reps=3):
     return sorted(times)[len(times) // 2]
 
 
+def _inproc_walls(fn, reps=3):
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        walls.append(time.perf_counter() - t0)
+    return walls
+
+
 def main():
     sys.path.insert(0, REPO)
     detail = {}
 
     from prographmsa_tpu.config import Options
-    from prographmsa_tpu.io.fasta import read_fasta
+    from prographmsa_tpu.io.fasta import read_fasta, write_fasta
     from prographmsa_tpu.cli import do_align
+    from prographmsa_tpu.tree.phytree import get_tree_order
     import prographmsa_tpu.engine.progressive as prog
     from prographmsa_tpu.align.scores import DynProgScores, precompute_scores
-    from prographmsa_tpu.io.fasta import write_fasta
-    from prographmsa_tpu.tree.phytree import get_tree_order
-    import io as _io
 
     seqs, _ = read_fasta(FIXTURE)
-    opts = Options(sequence_file=FIXTURE, tree_file=TREE, fasta_flag=True,
-                   iters=0)
+    opts_fixed = Options(sequence_file=FIXTURE, tree_file=TREE,
+                         fasta_flag=True, iters=0)
+    opts_free = Options(sequence_file=FIXTURE, mldist_flag=True,
+                        nwdist_flag=True, fasta_flag=True)
 
-    # ---- end-to-end, in-process (production engine), capturing the real
-    # 99 graph-pair DP workloads of the run
+    # ---- fixed-tree: warm-up, spy pass (untimed), timed runs
     rec = []
     orig = prog.align_graphs
 
     def spy(g1, g2, model, options):
         scores = DynProgScores(g1, g2, model, options)
         S = precompute_scores(g1, g2, model, scores, options.engine)
-        rec.append((g1, g2, S, scores))
+        rec.append((g1, g2, model, S, scores))
         return orig(g1, g2, model, options)
 
-    do_align(seqs, opts)                       # warm (imports, native build)
+    do_align(seqs, opts_fixed)                 # warm (imports, native, jit)
     prog.align_graphs = spy                    # capture workloads (untimed)
-    aligned, all_trees = do_align(seqs, opts)
+    aligned, all_trees = do_align(seqs, opts_fixed)
     prog.align_graphs = orig
-    walls = []
-    for _ in range(3):                         # timed: clean production runs
-        t0 = time.perf_counter()
-        aligned, all_trees = do_align(seqs, opts)
-        walls.append(time.perf_counter() - t0)
-    our_e2e = sorted(walls)[1]
-    detail["our_e2e_wall_s"] = round(our_e2e, 4)
+    walls = _inproc_walls(lambda: do_align(seqs, opts_fixed))
+    detail["fixed_e2e_first_s"] = round(walls[0], 4)
+    detail["fixed_e2e_wall_s"] = round(sorted(walls)[len(walls) // 2], 4)
+    ref_fixed = _median_wall([REF_BIN, "--fasta", "-t", TREE,
+                              "-o", "/dev/null", FIXTURE])
+    detail["fixed_ref_wall_s"] = round(ref_fixed, 4)
 
-    # ---- reference binary, same run
-    ref_e2e = _median_wall([REF_BIN, "--fasta", "-t", TREE,
-                            "-o", "/dev/null", FIXTURE])
-    detail["ref_e2e_wall_s"] = round(ref_e2e, 4)
-
-    # ---- output identity (bit-for-bit)
     ref = subprocess.run([REF_BIN, "--fasta", "-t", TREE, FIXTURE],
                          check=True, capture_output=True, text=True)
     buf = _io.StringIO()
-    write_fasta(aligned, get_tree_order(all_trees[-1], opts), buf)
-    detail["identical_to_reference"] = buf.getvalue() == ref.stdout
-    assert detail["identical_to_reference"], "output diverged from reference"
+    write_fasta(aligned, get_tree_order(all_trees[-1], opts_fixed), buf)
+    detail["fixed_identical"] = buf.getvalue() == ref.stdout
+    assert detail["fixed_identical"], "fixed-tree output diverged"
 
-    # ---- graph-pair DP fill rate on the production engine (actual cells)
+    # ---- free-tree (config 2): full default pipeline
+    do_align(seqs, opts_free)                  # warm
+    free_out = {}
+
+    def _free():
+        free_out["res"] = do_align(seqs, opts_free)
+
+    walls = _inproc_walls(_free)
+    detail["free_e2e_first_s"] = round(walls[0], 4)
+    detail["free_e2e_wall_s"] = round(sorted(walls)[len(walls) // 2], 4)
+    ref_free = _median_wall([REF_BIN, "--mldist", "--nwdist", "--fasta",
+                             "-o", "/dev/null", FIXTURE])
+    detail["free_ref_wall_s"] = round(ref_free, 4)
+
+    ref = subprocess.run([REF_BIN, "--mldist", "--nwdist", "--fasta",
+                          FIXTURE], check=True, capture_output=True,
+                         text=True)
+    aligned_f, trees_f = free_out["res"]
+    buf = _io.StringIO()
+    write_fasta(aligned_f, get_tree_order(trees_f[-1], opts_free), buf)
+    detail["free_identical"] = buf.getvalue() == ref.stdout
+    assert detail["free_identical"], "free-tree output diverged"
+
+    ratio_fixed = ref_fixed / detail["fixed_e2e_wall_s"]
+    ratio_free = ref_free / detail["free_e2e_wall_s"]
+    detail["fixed_vs_ref"] = round(ratio_fixed, 3)
+    detail["free_vs_ref"] = round(ratio_free, 3)
+
+    # ---- graph-pair DP fill rates on the captured real workloads
     from prographmsa_tpu import native
-    cells = sum(g1.size * g2.size for g1, g2, _, _ in rec)
+    cells = sum(g1.size * g2.size for g1, g2, _, _, _ in rec)
     detail["graphdp_pairs"] = len(rec)
     detail["graphdp_actual_cells"] = cells
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        for g1, g2, S, sc in rec:
+        for g1, g2, _m, S, sc in rec:
             native.fill_dp_native(g1, g2, S, sc)
     dt = (time.perf_counter() - t0) / reps
     graphdp_rate = cells / dt
     detail["graphdp_fill_wall_s"] = round(dt, 4)
     detail["graphdp_cells_per_sec_native"] = round(graphdp_rate)
+
+    # fused Pallas batch: fill + in-kernel backtrack, one launch + one fetch
+    try:
+        from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+        items = [(g1, g2, m, sc) for g1, g2, m, _S, sc in rec]
+        align_pairs_device(items)              # compile
+        t0 = time.perf_counter()
+        out = align_pairs_device(items)
+        dt_p = time.perf_counter() - t0
+        ok = sum(1 for r in out if r is not None)
+        detail["graphdp_pallas_batch_wall_s"] = round(dt_p, 4)
+        detail["graphdp_pallas_pairs_on_device"] = ok
+        detail["graphdp_cells_per_sec_pallas"] = round(cells / dt_p)
+    except Exception as e:  # noqa: BLE001 — optional on non-TPU hosts
+        detail["graphdp_pallas_error"] = repr(e)
 
     # ---- all-pairs NW device kernel (actual cells on BOTH sides)
     try:
@@ -133,8 +186,8 @@ def main():
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
         L = max(len(c) for c in codes.values())
         B = len(pairs)
-        s1b = np.zeros((B, L), dtype=np.int32)
-        s2b = np.zeros((B, L), dtype=np.int32)
+        s1b = np.zeros((B, L), dtype=np.uint8)
+        s2b = np.zeros((B, L), dtype=np.uint8)
         nw_cells = 0
         for b, (i, j) in enumerate(pairs):
             c1, c2 = codes[order[i]], codes[order[j]]
@@ -179,7 +232,7 @@ def main():
         "metric": "graphdp_cells_per_sec",
         "value": round(graphdp_rate),
         "unit": "cells/s",
-        "vs_baseline": round(ref_e2e / our_e2e, 3),
+        "vs_baseline": round(min(ratio_fixed, ratio_free), 3),
     }))
 
 

@@ -1,36 +1,46 @@
-"""Fused Pallas TPU kernel: graph-pair DP fill + in-kernel backtrack.
+"""Device graph-pair DP: Pallas wavefront fill + batched XLA traceback.
 
-One launch aligns a graph pair end-to-end on the chip: the anti-diagonal
-wavefront fill (/root/reference/src/GraphAlign.h:201-280) runs with all four
-DP matrices resident in VMEM, then the traceback (GraphAlign.h:283-517) runs
-in the same kernel over those matrices and emits only the two mapping
-vectors — a few KB.  Nothing O(n1*n2) crosses the host link (critical on
-this tunneled TPU, where a fresh device->host fetch costs ~25 ms regardless
-of size), and S is computed on device (align/scores_device.py) so nothing
-O(n1*n2) goes UP either — only the DIM-wide site profiles.
+One ``align_pairs_device`` call aligns a BATCH of graph pairs end-to-end
+on the chip.  The anti-diagonal wavefront fill
+(/root/reference/src/GraphAlign.h:201-280) is a Pallas kernel (grid over
+pairs) whose VMEM working set is only the recurrence ring buffers plus
+8-row staging windows: the five diagonal-major planes (M/X/Y/W/S) are
+STREAMED to HBM by per-block DMA, so sequence length is bounded by HBM,
+not VMEM (SURVEY §5 long-context row).  The traceback
+(GraphAlign.h:283-517) then runs over those planes as batched XLA under
+jit (_make_bt) — Mosaic cannot express it: this toolchain rejects every
+dynamic-lane scalar VMEM read ("cannot statically prove that index in
+dimension 1 is a multiple of 128"), and a traceback is nothing but
+data-dependent cell reads.  Only the mapping vectors are fetched — a few
+KB; nothing O(n1*n2) crosses the host link in either direction (critical
+on this tunneled TPU: ~25 ms fetch latency, ~15 MB/s), with S computed on
+device from the DIM-wide site profiles (align/scores_device.py).
 
-Hardware op selection (probed on the v5e via /tmp/pbisect*.py):
-  * dynamic *sublane writes* (``ref[pl.ds(d,1),:] = row``) work; dynamic
-    sublane *vector reads* hang Mosaic -> row reads go through a ring
-    buffer decoded by chained ``jnp.where`` selects over static rows
-    (exact: pure selection, no arithmetic), and the streamed Sdiag/C2diag
-    rows arrive via explicit double-rate DMA windows (dynamic DMA offsets
-    are supported).
+Hardware op selection (probed on the v5e):
+  * dynamic *sublane writes* (``ref[pl.ds(d,1),:] = row``) and dynamic DMA
+    offsets work; dynamic sublane vector reads hang Mosaic -> recurrence
+    row reads go through ring buffers decoded by chained ``jnp.where``
+    selects over static rows (exact: pure selection, no arithmetic);
+  * dynamic-lane scalar reads do not lower at all (above) -> no in-kernel
+    traceback;
   * dynamic lane shifts default to bit-decomposed static ``pltpu.roll``;
-    PROGRAPHMSA_PALLAS_DYNROLL=1 switches to a single dynamic roll.
-  * +-inf VMEM operands fault the runtime (round-2 finding) -> finite
-    sentinels: NEG = -1e37 for "unreachable", +1e37 for infinite edge
-    costs.  Cells on any real path get bit-identical f32 values (TPU
-    mul/add round exactly like the host — probed); unreachable cells carry
-    a different "minus infinity" which the backtrack's strict-improvement
-    comparisons never select.
+    PROGRAPHMSA_PALLAS_DYNROLL=1 switches to a single dynamic roll;
+  * +-inf VMEM operands fault the runtime -> finite sentinels: NEG = -1e37
+    for "unreachable", +1e37 for infinite edge costs.  Cells on any real
+    path get bit-identical f32 values (TPU add/sub round exactly like the
+    host); unreachable cells carry a different "minus infinity" the
+    traceback's strict-improvement comparisons never select;
+  * offset-bucket slots beyond a pair's actual offset count are skipped at
+    runtime via ``pl.when`` (each skipped candidate would be a FLOOR no-op
+    under fmax, so skipping is order-exact) — ~7x on near-chain levels.
 
-The backtrack replays align/backtrack.py's decision procedure exactly
-(min |stored - candidate| over true edges in PredIterator order, strict
-improvement, W-state resolution order), so mappings are byte-identical to
-the host engines.  A backtrack step that *selects* a repeat edge would need
-markAlternativePath (GraphAlign.h:166-198) — the kernel sets meta[FAIL] and
-the caller reruns that pair on the host path.
+The XLA traceback replays align/backtrack.py's decision procedure exactly
+(first argmin of |stored - candidate| over true edges in PredIterator
+order == the host scan's strict-improvement rule, hoisted W-state
+resolution), so mappings are byte-identical to the host engines.  A
+traceback step that *selects* a repeat edge would need
+markAlternativePath (GraphAlign.h:166-198) — meta[FAIL] is set and the
+caller reruns that pair on the host path.
 """
 
 from __future__ import annotations
@@ -70,17 +80,20 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
     dynroll = os.environ.get("PROGRAPHMSA_PALLAS_DYNROLL", "0") == "1"
     NBITS = max(1, (n1p - 1).bit_length())
     I_N1, I_N2 = o1p + o2p, o1p + o2p + 1
+    I_L1, I_L2 = o1p + o2p + 2, o1p + o2p + 3
 
     def kernel(scal_ref,
                Sdiag_ref,                    # ANY [DBv, n1p] f32
                C1T_ref,                      # VMEM [o1p, n1p] f32
                C2diag_ref,                   # ANY [DBv, o2p, n1p] f32
                par_ref,                      # SMEM [B, 16] f32 (unblocked)
-               outM_ref, outX_ref, outY_ref, # out VMEM [1, DBv, n1p] f32
-               outW_ref, outSd_ref,          # out VMEM [1, DBv, n1p] f32
-               M_ref, X_ref, Y_ref, W_ref,   # scratch [DBv, n1p] f32
-               SdV_ref,                      # scratch [DBv, n1p] f32
-               ringM, ringX, ringY, ringW):  # scratch [R, n1p] f32
+               outM_ref, outX_ref, outY_ref, # out ANY [B, DBv, n1p] f32
+               outW_ref, outSd_ref,          # (DMA-streamed 8-row windows)
+               M_ref, X_ref, Y_ref, W_ref,   # staging [8, n1p] f32
+               SdV_ref,                      # staging [8, n1p] f32
+               ringM, ringX, ringY, ringW,   # scratch [R, n1p] f32
+               accS,                         # scratch [8, n1p] f32
+               semout):                      # DMA sem for plane emission
         f32 = jnp.float32
         i32 = jnp.int32
         b = pl.program_id(0)
@@ -93,6 +106,8 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
         end_skip = par_ref[b, 6]
         n1 = scal_ref[b, I_N1]
         n2 = scal_ref[b, I_N2]
+        nlen1 = scal_ref[b, I_L1]
+        nlen2 = scal_ref[b, I_L2]
 
         ys = jax.lax.broadcasted_iota(i32, (1, n1p), 1)
         lmax_ii = jax.lax.broadcasted_iota(i32, (1, Lmax), 1)
@@ -128,41 +143,68 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
         # ---------------- fill ----------------
         def _fill_one(d, Sd, C2d):
             """One diagonal.  Sd [1, n1p]; C2d [o2p, n1p] (costs at lane y
-            = C2[d-y, j])."""
+            = C2[d-y, j]).
+
+            Candidate accumulation goes through VMEM scratch rows so each
+            offset slot's body sits under ``pl.when(slot < actual count)``
+            — padded slots are SKIPPED at runtime, not just masked.  A
+            level of near-chains (2 real offsets in a 16-slot bucket) does
+            ~60x less ring-select work.  Order-exact: every skipped
+            candidate is a FLOOR no-op under fmax."""
             xs = d - ys
             slot = jax.lax.rem(d, R)
 
-            Sm = jnp.full((1, n1p), FLOOR)
-            Sy = jnp.full((1, n1p), FLOOR)
-            SyB = jnp.full((1, n1p), FLOOR)
+            accS[0:1, :] = jnp.full((1, n1p), FLOOR)   # Sm
+            accS[1:2, :] = jnp.full((1, n1p), FLOOR)   # Sy
+            accS[2:3, :] = jnp.full((1, n1p), FLOOR)   # SyB
+            accS[3:4, :] = jnp.full((1, n1p), FLOOR)   # Sx
+            accS[4:5, :] = jnp.full((1, n1p), FLOOR)   # SxB
             for i in range(o1p):
-                o1i = scal_ref[b, i]
-                ci = C1T_ref[0, i:i + 1, :]
-                ki = jax.lax.rem(d - o1i + R, R)
-                vi = d - o1i >= 0
-                w_sh = shift_rows(ring_row(ringW, ki, vi), o1i)
-                y_sh = shift_rows(ring_row(ringY, ki, vi), o1i)
-                Sy = jnp.fmax(Sy, jnp.fmax(y_sh + ge, w_sh + gi) - ci)
-                SyB = jnp.fmax(SyB, jnp.fmax(y_sh + ge, w_sh + sg) - ci)
-                for j in range(o2p):
+                @pl.when(i < nlen1)
+                def _(i=i):
+                    o1i = scal_ref[b, i]
+                    ci = C1T_ref[0, i:i + 1, :]
+                    ki = jax.lax.rem(d - o1i + R, R)
+                    vi = d - o1i >= 0
+                    w_sh = shift_rows(ring_row(ringW, ki, vi), o1i)
+                    y_sh = shift_rows(ring_row(ringY, ki, vi), o1i)
+                    accS[1:2, :] = jnp.fmax(
+                        accS[1:2, :],
+                        jnp.fmax(y_sh + ge, w_sh + gi) - ci)
+                    accS[2:3, :] = jnp.fmax(
+                        accS[2:3, :],
+                        jnp.fmax(y_sh + ge, w_sh + sg) - ci)
+                    for j in range(o2p):
+                        @pl.when(j < nlen2)
+                        def _(i=i, j=j, o1i=o1i, ci=ci):
+                            o2j = scal_ref[b, o1p + j]
+                            cj = C2d[j:j + 1, :]
+                            kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
+                            vij = d - o1i - o2j >= 0
+                            w2 = shift_rows(ring_row(ringW, kij, vij), o1i)
+                            accS[0:1, :] = jnp.fmax(
+                                accS[0:1, :], ((w2 + Sd) - ci) - cj)
+
+            for j in range(o2p):
+                @pl.when(j < nlen2)
+                def _(j=j):
                     o2j = scal_ref[b, o1p + j]
                     cj = C2d[j:j + 1, :]
-                    kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
-                    vij = d - o1i - o2j >= 0
-                    w2 = shift_rows(ring_row(ringW, kij, vij), o1i)
-                    Sm = jnp.fmax(Sm, ((w2 + Sd) - ci) - cj)
-
-            Sx = jnp.full((1, n1p), FLOOR)
-            SxB = jnp.full((1, n1p), FLOOR)
-            for j in range(o2p):
-                o2j = scal_ref[b, o1p + j]
-                cj = C2d[j:j + 1, :]
-                kj = jax.lax.rem(d - o2j + R, R)
-                vj = d - o2j >= 0
-                xj = ring_row(ringX, kj, vj)
-                wj = ring_row(ringW, kj, vj)
-                Sx = jnp.fmax(Sx, jnp.fmax(xj + ge, wj + gi) - cj)
-                SxB = jnp.fmax(SxB, jnp.fmax(xj + ge, wj + sg) - cj)
+                    kj = jax.lax.rem(d - o2j + R, R)
+                    vj = d - o2j >= 0
+                    xj = ring_row(ringX, kj, vj)
+                    wj = ring_row(ringW, kj, vj)
+                    accS[3:4, :] = jnp.fmax(
+                        accS[3:4, :],
+                        jnp.fmax(xj + ge, wj + gi) - cj)
+                    accS[4:5, :] = jnp.fmax(
+                        accS[4:5, :],
+                        jnp.fmax(xj + ge, wj + sg) - cj)
+            Sm = accS[0:1, :]
+            Sy = accS[1:2, :]
+            SyB = accS[2:3, :]
+            Sx = accS[3:4, :]
+            SxB = accS[4:5, :]
 
             interior = (ys >= 1) & (ys <= n1 - 2) & (xs >= 1) & (xs <= n2 - 2)
             b_x0 = (xs == 0) & (ys >= 1) & (ys <= n1 - 2)
@@ -179,11 +221,12 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             Yrow = jnp.maximum(Yrow, NEG)
             Wrow = jnp.maximum(Wrow, NEG)
 
-            M_ref[pl.ds(d, 1), :] = Mrow
-            X_ref[pl.ds(d, 1), :] = Xrow
-            Y_ref[pl.ds(d, 1), :] = Yrow
-            W_ref[pl.ds(d, 1), :] = Wrow
-            SdV_ref[pl.ds(d, 1), :] = Sd
+            trow = jax.lax.rem(d, 8)
+            M_ref[pl.ds(trow, 1), :] = Mrow
+            X_ref[pl.ds(trow, 1), :] = Xrow
+            Y_ref[pl.ds(trow, 1), :] = Yrow
+            W_ref[pl.ds(trow, 1), :] = Wrow
+            SdV_ref[pl.ds(trow, 1), :] = Sd
             ringM[pl.ds(slot, 1), :] = Mrow
             ringX[pl.ds(slot, 1), :] = Xrow
             ringY[pl.ds(slot, 1), :] = Yrow
@@ -204,6 +247,16 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
         def fill_loop(Swin, C2win, sem1, sem2):
             nblk = (D + 7) // 8
 
+            def flush(base8, nrows):
+                for ref, out in ((M_ref, outM_ref), (X_ref, outX_ref),
+                                 (Y_ref, outY_ref), (W_ref, outW_ref),
+                                 (SdV_ref, outSd_ref)):
+                    cp = pltpu.make_async_copy(
+                        ref.at[pl.ds(0, nrows)],
+                        out.at[b, pl.ds(base8, nrows)], semout)
+                    cp.start()
+                    cp.wait()
+
             def blk_body(blk, c):
                 base = blk * 8
                 cp1 = pltpu.make_async_copy(
@@ -216,6 +269,11 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
                 cp2.wait()
                 for t in range(8):
                     d = base + t + 1
+                    # plane rows [base, base+8) are all staged exactly
+                    # between d=base+7 (t=6, staging row 7) and d=base+8
+                    # (t=7, which overwrites staging row 0 = diag base)
+                    if t == 7:
+                        flush(base, 8)
 
                     @pl.when(d < D)
                     def _():
@@ -223,6 +281,10 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
                 return c
 
             jax.lax.fori_loop(0, nblk, blk_body, 0)
+            # the final block's t=7 diagonal (d = 8*nblk) sits in staging
+            # row 0; rows 1..7 of this tail window are past-D junk the
+            # traceback never reads (it stops at d <= n1+n2-4 < D)
+            flush(nblk * 8, 8)
 
         pl.run_scoped(
             fill_loop,
@@ -232,21 +294,6 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             sem2=pltpu.SemaphoreType.DMA(()),
         )
 
-        # ---------------- emit planes ----------------
-        # The traceback CANNOT run in this kernel on the current toolchain:
-        # Mosaic refuses every dynamic-lane scalar VMEM read ("cannot
-        # statically prove that index in dimension 1 is a multiple of
-        # 128"), and dynamic sublane vector reads hang (probed, module
-        # docstring) — and the traceback is nothing but data-dependent
-        # cell reads.  So the kernel emits the five diagonal-major planes
-        # (one static bulk copy each) and the traceback runs as a batched
-        # XLA loop over them (_make_bt) WITHOUT leaving the device; only
-        # the mapping vectors are fetched, as before.
-        outM_ref[0, :, :] = M_ref[:, :]
-        outX_ref[0, :, :] = X_ref[:, :]
-        outY_ref[0, :, :] = Y_ref[:, :]
-        outW_ref[0, :, :] = W_ref[:, :]
-        outSd_ref[0, :, :] = SdV_ref[:, :]
 
     # --------------- pallas_call wiring ---------------
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -263,12 +310,14 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             # or equal the array dims) — unblocked SMEM has no such rule
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, DBv, n1p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 5,
-        scratch_shapes=[pltpu.VMEM((DBv, n1p), jnp.float32)] * 5
-        + [pltpu.VMEM((ring, n1p), jnp.float32)] * 4,
+        # whole arrays in HBM: the kernel streams 8-row windows into them
+        # by DMA, so VMEM never holds an O(D x n1p) plane — sequence
+        # length is bounded by HBM, not VMEM
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        scratch_shapes=[pltpu.VMEM((8, n1p), jnp.float32)] * 5
+        + [pltpu.VMEM((ring, n1p), jnp.float32)] * 4
+        + [pltpu.VMEM((8, n1p), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA(())],
     )
 
     out_shape = [jax.ShapeDtypeStruct((B, DBv, n1p), jnp.float32)] * 5
@@ -593,7 +642,10 @@ def pair_buckets(g1, g2, scores, max_offsets: int = 16):
     o2, _ = oc2
     n1p = _bucket(max(g1.size, 16), LANE)
     n2p = _bucket(max(g2.size, 16), LANE)
-    if n1p > 512 or n2p > 512:
+    # planes are streamed to HBM (not VMEM), so the length ceiling is the
+    # HBM plane budget, enforced per-batch in align_pairs_device; 4096 here
+    # only bounds a single pair (~1.3 GB of planes) far below HBM
+    if n1p > 4096 or n2p > 4096:
         return None
     reach = int(o1.max()) + int(o2.max())
     ring = 64 if reach < 64 else (128 if reach < 128 else None)
@@ -651,7 +703,8 @@ def prepare_pair(g1, g2, scores, max_offsets: int = 16, buckets=None):
     o1pad[:len(o1)] = o1
     o2pad = np.ones(o2p, np.int32)
     o2pad[:len(o2)] = o2
-    scal = np.concatenate([o1pad, o2pad, np.array([n1, n2], np.int32)])
+    scal = np.concatenate([o1pad, o2pad,
+                           np.array([n1, n2, len(o1), len(o2)], np.int32)])
 
     par = np.zeros(16, dtype=np.float32)
     par[0] = scores.gap_extend
@@ -774,9 +827,23 @@ def align_pairs_device(items, interpret=None, s_mode="auto"):
     if not live:
         return results
 
+    n1p, n2p = buckets["n1p"], buckets["n2p"]
+    # bound the HBM plane footprint (5 f32 planes of [B, DBv, n1p]): chunk
+    # the batch when long sequences would otherwise exhaust device memory
+    DBv = ((n1p + n2p - 3 + 7) // 8) * 8 + 8
+    plane_bytes_per_pair = 5 * 4 * DBv * n1p
+    max_b = max(1, int(4e9 // plane_bytes_per_pair))
+    if len(live) > max_b:
+        out = list(results)
+        for s0 in range(0, len(live), max_b):
+            part = [items[i] for i in live[s0:s0 + max_b]]
+            sub = align_pairs_device(part, interpret, s_mode)
+            for k, i in enumerate(live[s0:s0 + max_b]):
+                out[i] = sub[k]
+        return out
+
     B = _pow2(len(live))
     idxs = live + [live[0]] * (B - len(live))    # pad with a duplicate
-    n1p, n2p = buckets["n1p"], buckets["n2p"]
     dim = items[live[0]][0].dim
 
     if use_device_s:

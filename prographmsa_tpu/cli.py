@@ -128,6 +128,8 @@ def do_align(seqs: Dict[str, str], options: Options):
     Returns (aligned {name: str}, all_trees [PhyTree])."""
     from .runtime import enable_compile_cache
     enable_compile_cache()
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()                 # PROGRAPHMSA_DIST=1 joins the mesh
     spec = al.get_alphabet(options)
 
     # strip start/stop codons (main.cpp:326-353)

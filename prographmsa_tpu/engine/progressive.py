@@ -34,19 +34,24 @@ class ProgressiveAlignmentResult:
     is_csprofile: bool = False
 
 
-def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
+def align_graphs(g1: Graph, g2: Graph, model, options,
+                 scores=None) -> AlignmentResult:
     """alignGraphs (GraphAlign.h:201-534): scores -> S-matrix GEMM -> DP
     fill -> backtrack.  Engine selection (options.engine): the native C++
     kernels, the per-node device kernel, or the numpy reference path — all
-    bit-identical (tests/test_native.py, tests/test_dp_device.py)."""
+    bit-identical (tests/test_native.py, tests/test_dp_device.py).
+    ``scores`` lets a caller (the level driver) reuse an already-computed
+    DynProgScores instead of re-deriving it."""
     engine = options.engine
+    if scores is None:
+        with timings.phase("scores"):
+            scores = DynProgScores(g1, g2, model, options)
     if engine == "pallas":
         # fused on-device fill + backtrack (align/graph_dp_pallas.py): S is
         # computed on device, only the mappings come back; bails to the
         # host engines on bucket overflow or repeat-edge paths
         with timings.phase("dp_device"):
             from ..align.graph_dp_pallas import align_pair_device
-            scores = DynProgScores(g1, g2, model, options)
             res = align_pair_device(g1, g2, model, scores)
         if res is not None:
             m1, m2, score, ntr = res
@@ -54,7 +59,6 @@ def align_graphs(g1: Graph, g2: Graph, model, options) -> AlignmentResult:
                                    mapping1=m1, mapping2=m2), scores
 
     with timings.phase("scores"):
-        scores = DynProgScores(g1, g2, model, options)
         S = precompute_scores(g1, g2, model, scores, engine)
 
     with timings.phase("dp_fill"):
