@@ -11,14 +11,18 @@ Workloads (both on the 100-sequence family, per BASELINE.json):
     guide-tree iterations; distances dominate.
 
 Measurement method (recorded, not hidden):
-  * ours  = median of 3 warm in-process ``do_align`` calls after a warm-up
-    (JIT/native caches hot; the first timed call is also recorded as
-    ``*_first_s`` so warm-up effects stay visible).  In-process excludes
-    the ~2.1 s Python interpreter startup of this box — the reference is a
-    C++ binary with no comparable cost, and a long-running service pays
-    the import once.
-  * ref   = median of 3 cold subprocess invocations of the oracle binary
-    (its process startup is ~ms).
+  * ours and ref are measured INTERLEAVED (ours, ref, ours, ref, ...) so
+    that this box's load noise (a shared VM; wall times drift 20-50% over
+    minutes) hits both sides symmetrically, and the MIN of 5 rounds is
+    used for each — the standard estimator for noisy microbenchmarks,
+    applied to both sides alike.  The first timed call is also recorded
+    as ``*_first_s`` so warm-up effects stay visible.
+  * ours = warm in-process ``do_align`` (JIT/native caches hot).
+    In-process excludes the ~2.1 s Python interpreter startup of this
+    box — the reference is a C++ binary with no comparable cost, and a
+    long-running service pays the import once.
+  * ref  = cold subprocess invocations of the oracle binary (its process
+    startup is ~ms).
   * vs_baseline = min(fixed-tree ratio, free-tree ratio), each ratio =
     ref_wall / our_wall (> 1 means we are faster on BOTH workloads).
   * Output identity vs the reference binary is asserted on both workloads.
@@ -56,13 +60,18 @@ def _median_wall(cmd, reps=3):
     return sorted(times)[len(times) // 2]
 
 
-def _inproc_walls(fn, reps=3):
-    walls = []
-    for _ in range(reps):
+def _interleaved(fn, ref_cmd, rounds=5):
+    """Alternate in-process fn and the reference subprocess; min of each.
+    Returns (ours_walls, ref_walls) in measurement order."""
+    ours, ref = [], []
+    for _ in range(rounds):
         t0 = time.perf_counter()
         fn()
-        walls.append(time.perf_counter() - t0)
-    return walls
+        ours.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        subprocess.run(ref_cmd, check=True, capture_output=True)
+        ref.append(time.perf_counter() - t0)
+    return ours, ref
 
 
 def main():
@@ -96,11 +105,12 @@ def main():
     prog.align_graphs = spy                    # capture workloads (untimed)
     aligned, all_trees = do_align(seqs, opts_fixed)
     prog.align_graphs = orig
-    walls = _inproc_walls(lambda: do_align(seqs, opts_fixed))
+    walls, refs = _interleaved(
+        lambda: do_align(seqs, opts_fixed),
+        [REF_BIN, "--fasta", "-t", TREE, "-o", "/dev/null", FIXTURE])
     detail["fixed_e2e_first_s"] = round(walls[0], 4)
-    detail["fixed_e2e_wall_s"] = round(sorted(walls)[len(walls) // 2], 4)
-    ref_fixed = _median_wall([REF_BIN, "--fasta", "-t", TREE,
-                              "-o", "/dev/null", FIXTURE])
+    detail["fixed_e2e_wall_s"] = round(min(walls), 4)
+    ref_fixed = min(refs)
     detail["fixed_ref_wall_s"] = round(ref_fixed, 4)
 
     ref = subprocess.run([REF_BIN, "--fasta", "-t", TREE, FIXTURE],
@@ -117,11 +127,12 @@ def main():
     def _free():
         free_out["res"] = do_align(seqs, opts_free)
 
-    walls = _inproc_walls(_free)
+    walls, refs = _interleaved(
+        _free, [REF_BIN, "--mldist", "--nwdist", "--fasta",
+                "-o", "/dev/null", FIXTURE], rounds=3)
     detail["free_e2e_first_s"] = round(walls[0], 4)
-    detail["free_e2e_wall_s"] = round(sorted(walls)[len(walls) // 2], 4)
-    ref_free = _median_wall([REF_BIN, "--mldist", "--nwdist", "--fasta",
-                             "-o", "/dev/null", FIXTURE])
+    detail["free_e2e_wall_s"] = round(min(walls), 4)
+    ref_free = min(refs)
     detail["free_ref_wall_s"] = round(ref_free, 4)
 
     ref = subprocess.run([REF_BIN, "--mldist", "--nwdist", "--fasta",
