@@ -172,6 +172,11 @@ def nw_counts_device(s1b: np.ndarray, s2b: np.ndarray, l1: np.ndarray,
     (counts [B,dim,dim] int64-castable, gaps [B])."""
     import jax.numpy as jnp
 
+    if s1b.shape[1] >= 2 ** 16 or s2b.shape[1] >= 2 ** 16:
+        # counts are fetched as uint16 (exact only while counts <= L < 2^16);
+        # same guard as prealigned_device — callers fall back to the host path
+        raise ValueError("nw_counts_device: sequence length >= 2^16 would "
+                         "overflow the uint16 count transfer")
     kern = _make_kernel(s1b.shape[1], s2b.shape[1], go, ge, dim,
                         scoring.shape[0])
     counts, gaps, _ = kern(jnp.asarray(s1b), jnp.asarray(s2b),

@@ -133,8 +133,8 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
             out = []
             for k in ks:
                 cg1, cg2 = items[k][0], items[k][1]
-                out.append((k, align_graphs(cg1, cg2, items[k][2],
-                                            options)[0]))
+                out.append((k, align_graphs(cg1, cg2, items[k][2], options,
+                                            scores=items[k][3])[0]))
             return out
 
         host_idx = [k for k in range(len(ready)) if alns[k] is None]

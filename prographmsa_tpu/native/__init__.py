@@ -279,6 +279,8 @@ def _d(a):
     Fortran layouts), replacing the previous assert."""
     if a.nbytes == 0:           # from_buffer rejects empty buffers; the
         return a.ctypes.data    # kernels never dereference 0-count args
+    if not a.flags.writeable:   # read-only arrays (e.g. np.frombuffer) are
+        return a.ctypes.data    # legitimate const kernel arguments
     return ctypes.addressof(ctypes.c_char.from_buffer(a))
 
 

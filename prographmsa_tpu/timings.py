@@ -9,12 +9,16 @@ when disabled (the context manager short-circuits).
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 
 _acc: dict = {}
 _calls: dict = {}
 _enabled = False
+# the level driver runs align phases on a thread pool; the accumulator
+# read-modify-writes need a lock or concurrent phases lose updates
+_lock = threading.Lock()
 
 
 def enable(flag: bool = True) -> None:
@@ -33,8 +37,9 @@ def phase(name: str):
     try:
         yield
     finally:
-        _acc[name] = _acc.get(name, 0.0) + (time.perf_counter() - t0)
-        _calls[name] = _calls.get(name, 0) + 1
+        with _lock:
+            _acc[name] = _acc.get(name, 0.0) + (time.perf_counter() - t0)
+            _calls[name] = _calls.get(name, 0) + 1
 
 
 def report(stream) -> None:
