@@ -1,46 +1,59 @@
-"""Device graph-pair DP: Pallas wavefront fill + batched XLA traceback.
+"""Device graph-pair DP: sublane-packed Pallas wavefront fill that emits
+per-cell decision CODES, plus an arithmetic-free XLA code-chase traceback.
 
-One ``align_pairs_device`` call aligns a BATCH of graph pairs end-to-end
-on the chip.  The anti-diagonal wavefront fill
-(/root/reference/src/GraphAlign.h:201-280) is a Pallas kernel (grid over
-pairs) whose VMEM working set is only the recurrence ring buffers plus
-8-row staging windows: the five diagonal-major planes (M/X/Y/W/S) are
-STREAMED to HBM by per-block DMA, so sequence length is bounded by HBM,
-not VMEM (SURVEY §5 long-context row).  The traceback
-(GraphAlign.h:283-517) then runs over those planes as batched XLA under
-jit (_make_bt) — Mosaic cannot express it: this toolchain rejects every
-dynamic-lane scalar VMEM read ("cannot statically prove that index in
-dimension 1 is a multiple of 128"), and a traceback is nothing but
-data-dependent cell reads.  Only the mapping vectors are fetched — a few
-KB; nothing O(n1*n2) crosses the host link in either direction (critical
-on this tunneled TPU: ~25 ms fetch latency, ~15 MB/s), with S computed on
-device from the DIM-wide site profiles (align/scores_device.py).
+One ``align_pairs_device`` call aligns a BATCH of graph pairs end-to-end on
+the chip.  Round-4 redesign of the round-3 kernel (which processed one pair
+per grid step on 1/8 of the VPU sublanes and re-derived every traceback
+decision with gather storms):
 
-Hardware op selection (probed on the v5e):
-  * dynamic *sublane writes* (``ref[pl.ds(d,1),:] = row``) and dynamic DMA
-    offsets work; dynamic sublane vector reads hang Mosaic -> recurrence
-    row reads go through ring buffers decoded by chained ``jnp.where``
-    selects over static rows (exact: pure selection, no arithmetic);
-  * dynamic-lane scalar reads do not lower at all (above) -> no in-kernel
-    traceback;
-  * dynamic lane shifts default to bit-decomposed static ``pltpu.roll``;
-    PROGRAPHMSA_PALLAS_DYNROLL=1 switches to a single dynamic roll;
-  * +-inf VMEM operands fault the runtime -> finite sentinels: NEG = -1e37
-    for "unreachable", +1e37 for infinite edge costs.  Cells on any real
-    path get bit-identical f32 values (TPU add/sub round exactly like the
-    host); unreachable cells carry a different "minus infinity" the
-    traceback's strict-improvement comparisons never select;
-  * offset-bucket slots beyond a pair's actual offset count are skipped at
-    runtime via ``pl.when`` (each skipped candidate would be a FLOOR no-op
-    under fmax, so skipping is order-exact) — ~7x on near-chain levels.
+* **8 pairs per grid step, one per sublane.**  Every row op of the
+  anti-diagonal wavefront (/root/reference/src/GraphAlign.h:201-280) is an
+  (8, n1p) tile — full VPU sublane utilization.  Per-pair offsets, sizes
+  and DP parameters are (8, 1) vectors; ring reads and lane shifts take
+  per-sublane indices through vector selects.
+* **Tier classes instead of one worst-case bucket.**  Pairs are grouped by
+  (offset-slot count, ring reach) into static tiers — a chain-dominated
+  level runs with 2 offset slots and an 8-slot ring instead of the batch
+  max (16, 64/128), cutting the chained ring selects ~8x.  The diagonal
+  loop bound is a *runtime* per-group scalar, so group padding and
+  mixed-size batches cost only their actual diagonals.
+* **The fill emits decision codes; the traceback never re-derives
+  scores.**  The reference's backtrack picks the first candidate whose
+  recomputed score matches the stored cell (min |difference|, strict
+  improvement, PredIterator order — GraphAlign.h:283-517).  Because the
+  stored cell IS the max of those same candidates (computed with identical
+  f32 op order), the first argmin equals the first strict-improvement
+  attainer **during the fill's own max accumulation** — so the kernel
+  tracks, per cell, which (offset-slot, move) first attained the running
+  max, iterating slots in descending-offset order (= ascending predecessor
+  index = PredIterator order; graph/graph.py:18-20).  The packed int32
+  code plane is the only O(n1*n2) output — the 5 value planes of round 3
+  are gone, cutting HBM traffic ~3.5x.
+* **Traceback = code chase.**  An XLA while loop walks the code plane with
+  ONE tiny gather per step (plus small table lookups), emitting the
+  mapping vectors.  Two exceptions replay the host argmin explicitly with
+  values the kernel exports on the side:
+    - boundary cells (x==0 / y==0): the fill scored them with
+      ``start_gap`` but the backtrack compares candidates built with
+      ``gap_init`` (backtrack.py:149), so first-attainer != argmin there;
+      the kernel exports the boundary value stripes Y[:,0] / X[0,:] and
+      the chase replays backtrack.py:140-172 bit-exactly on them;
+    - the end transition (GraphAlign.h:304-353) needs M/X/Y values at the
+      end-node predecessors; the kernel streams the last <=128 diagonals
+      of M/X/Y to small tail planes and the chase replays the end argmin
+      (including Wend itself) from those.
+  A step that selects a repeat edge still bails to the host
+  (markAlternativePath, GraphAlign.h:166-198): per-(node, offset-bucket)
+  "min cost is strictly a repeat edge" bits are host-precomputed, and any
+  tie between a repeat and a normal bucket also bails (conservative: the
+  host fallback recomputes the pair exactly).
 
-The XLA traceback replays align/backtrack.py's decision procedure exactly
-(first argmin of |stored - candidate| over true edges in PredIterator
-order == the host scan's strict-improvement rule, hoisted W-state
-resolution), so mappings are byte-identical to the host engines.  A
-traceback step that *selects* a repeat edge would need
-markAlternativePath (GraphAlign.h:166-198) — meta[FAIL] is set and the
-caller reruns that pair on the host path.
+Hardware facts this design encodes (probed on the axon-tunneled v5e):
+dynamic sublane *writes* and dynamic DMA offsets lower; dynamic sublane
+vector *reads* do not (rings are read by chained per-sublane selects);
++-inf VMEM operands fault (finite sentinels NEG=-1e37 / +1e37 / -3e38);
+one host<->device roundtrip costs ~25 ms, so the whole batch is one
+kernel launch + one chase launch + ONE packed fetch.
 """
 
 from __future__ import annotations
@@ -50,9 +63,6 @@ import os
 
 import numpy as np
 
-from .dp import NEG_INF
-from .dp_jax import _offset_costs, _bucket
-
 NEG = np.float32(-1e37)          # finite "-inf" (inf operands fault v5e)
 COST_INF = np.float32(1e37)      # finite "+inf" edge cost
 FLOOR = np.float32(-3e38)        # max-accumulator init (< any candidate)
@@ -60,156 +70,314 @@ BIG = np.float32(3e38)           # min-accumulator init (> any |diff|)
 LANE = 128
 
 ST_M, ST_X, ST_Y = 0, 1, 2       # states, as in align/backtrack.py
+ST_W = 3                         # chase-internal: resolve from wstate
+
+MAX_N = 4096                     # per-side node cap (HBM plane budget)
+MAX_OFF = 16                     # offset-slot cap (static unroll budget)
+
+# tiers: (op = offset slots per side, R = ring slots); a pair needs the
+# smallest tier with op >= max(nlen1, nlen2) and R >= reach + 2
+TIERS = ((2, 8), (4, 16), (8, 64), (16, 128))
+GROUP_SPREAD = 40                # max diag spread within a group of 8
+
+
+def _tcap(R: int) -> int:
+    """Tail-plane diagonal capacity for ring size R: covers the end-region
+    window [min_dfull - R - 7, max_dfull + 13] given GROUP_SPREAD."""
+    return R + 64
 
 META_SCORE, META_LEN, META_FAIL = 0, 1, 2
 
+# ---------------------------------------------------------------------------
+# fallback observability (VERDICT r3 #6): every pair that leaves the device
+# path is counted by reason; the level driver surfaces these in --timings
+FALLBACK_KEYS = ("pairs_total", "pairs_device", "fb_offsets", "fb_size",
+                 "fb_reach", "fb_spread", "fb_rep", "fb_chase")
+_fallback_stats = {k: 0 for k in FALLBACK_KEYS}
+
+
+def fallback_stats():
+    return dict(_fallback_stats)
+
+
+def reset_fallback_stats():
+    for k in FALLBACK_KEYS:
+        _fallback_stats[k] = 0
+
+
+# ---------------------------------------------------------------------------
+# host-side pair preparation
+
+
+def _offset_costs_rep(graph, scores, max_offsets: int):
+    """Offset-bucket costs with repeat bits.
+
+    Returns (offsets [m] i32 ascending, C [n, m] f32, rep [n, m] bool) or
+    None if the graph has more than ``max_offsets`` distinct predecessor
+    offsets.  C[i, k] = min cost over edges i -> i-offsets[k] (PredIterator
+    costs: normal edges as stored, repeat edges repeat_init +
+    repeat_ext*(units-1), NaN (inf*0) => unreachable); rep[i, k] is True
+    iff that min is achieved ONLY by a repeat edge (a chase step through
+    such a bucket must bail to the host for markAlternativePath)."""
+    n = graph.size
+    offsets = set()
+    for i in range(n):
+        for p, _ in graph.preds[i]:
+            offsets.add(i - p)
+        for p, _ in graph.reps[i]:
+            offsets.add(i - p)
+    offsets = sorted(offsets)
+    if len(offsets) > max_offsets:
+        return None
+    omap = {o: k for k, o in enumerate(offsets)}
+    m = max(1, len(offsets))
+    Cn = np.full((n, m), np.inf, dtype=np.float32)   # min normal cost
+    Cr = np.full((n, m), np.inf, dtype=np.float32)   # min repeat cost
+    ri = np.float32(scores.repeat_init)
+    re = np.float32(scores.repeat_ext)
+    for i in range(n):
+        for p, c in graph.preds[i]:
+            k = omap[i - p]
+            c32 = np.float32(c)
+            if c32 < Cn[i, k]:
+                Cn[i, k] = c32
+        for p, u in graph.reps[i]:
+            k = omap[i - p]
+            with np.errstate(invalid="ignore"):
+                rc = np.float32(ri + re * np.float32(u - 1))
+            if np.isnan(rc):
+                continue                     # NaN cost: never chosen
+            if rc < Cr[i, k]:
+                Cr[i, k] = rc
+    C = np.minimum(Cn, Cr)
+    rep = Cr < Cn                            # strict: ties go to the normal
+    return (np.array(offsets, dtype=np.int32) if offsets
+            else np.array([1], dtype=np.int32)), C, rep
+
+
+def _lane_bucket(n: int) -> int:
+    return max(LANE, ((n + LANE - 1) // LANE) * LANE)
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1)).bit_length()
+
+
+class _PairInfo:
+    __slots__ = ("idx", "g1", "g2", "model", "scores", "n1", "n2", "o1",
+                 "C1", "rep1", "o2", "C2", "rep2", "tier", "dfull")
+
+    def __init__(self, idx, g1, g2, model, scores):
+        self.idx = idx
+        self.g1, self.g2 = g1, g2
+        self.model, self.scores = model, scores
+        self.n1, self.n2 = g1.size, g2.size
+        self.dfull = self.n1 + self.n2 - 2
+
+
+def _prep_pair(idx, g1, g2, model, scores):
+    """Bucket/cost tables for one pair, or a fallback-reason string."""
+    if g1.size > MAX_N or g2.size > MAX_N:
+        return "fb_size"
+    oc1 = _offset_costs_rep(g1, scores, MAX_OFF)
+    oc2 = _offset_costs_rep(g2, scores, MAX_OFF)
+    if oc1 is None or oc2 is None:
+        return "fb_offsets"
+    info = _PairInfo(idx, g1, g2, model, scores)
+    info.o1, info.C1, info.rep1 = oc1
+    info.o2, info.C2, info.rep2 = oc2
+    # finite sentinel for "no edge": +-inf operands misbehave in VMEM on
+    # the v5e (probed round 3), and the chase tests `cost < COST_INF`
+    info.C1 = np.where(np.isfinite(info.C1), info.C1,
+                       COST_INF).astype(np.float32)
+    info.C2 = np.where(np.isfinite(info.C2), info.C2,
+                       COST_INF).astype(np.float32)
+    reach = int(info.o1.max()) + int(info.o2.max())
+    need_op = max(len(info.o1), len(info.o2))
+    tier = None
+    for t, (op, R) in enumerate(TIERS):
+        if need_op <= op and reach <= R - 2:
+            tier = t
+            break
+    if tier is None:
+        return "fb_reach"
+    info.tier = tier
+    return info
+
+
+# ---------------------------------------------------------------------------
+# Pallas fill kernel
+
 
 @functools.lru_cache(maxsize=64)
-def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
-                 e2p: int, ring: int, interpret: bool):
+def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
+                 interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    D = n1p + n2p - 3            # exclusive fill bound (diags 1..D-1)
-    DBv = ((D + 7) // 8) * 8 + 8  # row capacity for streamed inputs/scratch
-    Lmax = n1p + n2p             # mapping capacity (>= path length + 2)
-    R = ring
-    RT = R // 8
-    dynroll = os.environ.get("PROGRAPHMSA_PALLAS_DYNROLL", "0") == "1"
-    NBITS = max(1, (n1p - 1).bit_length())
-    I_N1, I_N2 = o1p + o2p, o1p + o2p + 1
-    I_L1, I_L2 = o1p + o2p + 2, o1p + o2p + 3
+    NB = max(1, (R - 1).bit_length())    # lane-shift bits (offsets < R)
+    RT = max(1, R // 8)                  # ring chunks (two-level select)
+    TCAP = _tcap(R)
+    f32 = jnp.float32
+    i32 = jnp.int32
 
-    def kernel(scal_ref,
-               Sdiag_ref,                    # ANY [DBv, n1p] f32
-               C1T_ref,                      # VMEM [o1p, n1p] f32
-               C2diag_ref,                   # ANY [DBv, o2p, n1p] f32
-               par_ref,                      # SMEM [B, 16] f32 (unblocked)
-               outM_ref, outX_ref, outY_ref, # out ANY [B, DBv, n1p] f32
-               outW_ref, outSd_ref,          # (DMA-streamed 8-row windows)
-               M_ref, X_ref, Y_ref, W_ref,   # staging [8, n1p] f32
-               SdV_ref,                      # staging [8, n1p] f32
-               ringM, ringX, ringY, ringW,   # scratch [R, n1p] f32
-               accS,                         # scratch [8, n1p] f32
-               semout):                      # DMA sem for plane emission
-        f32 = jnp.float32
-        i32 = jnp.int32
-        b = pl.program_id(0)
-        ge = par_ref[b, 0]
-        gi = par_ref[b, 1]
-        sg = par_ref[b, 2]
-        start_init = par_ref[b, 3]
-        end_match = par_ref[b, 4]
-        end_gap = par_ref[b, 5]
-        end_skip = par_ref[b, 6]
-        n1 = scal_ref[b, I_N1]
-        n2 = scal_ref[b, I_N2]
-        nlen1 = scal_ref[b, I_L1]
-        nlen2 = scal_ref[b, I_L2]
+    def kernel(scal_ref,                 # SMEM [G, 8] i32 (prefetch)
+               O1_ref, O2_ref,           # VMEM (1, 8, 128) i32
+               IV_ref,                   # VMEM (1, 8, 128) i32 [n1, n2]
+               PAR_ref,                  # VMEM (1, 8, 128) f32 [ge,gi,sg,si]
+               C1T_ref,                  # VMEM (1, op, 8, n1p) f32
+               Sdiag_ref,                # ANY [G, DBv, 8, n1p] f32
+               C2c_ref,                  # ANY [G, DBv, 8, 128] f32 (lane-
+                                         #   padded: DMA slices must align)
+               codes_out,                # ANY [G, DBv, 8, n1p] i32
+               tailM_out, tailX_out, tailY_out,   # ANY [G, TCAP, 8, n1p]
+               stripeY_ref, stripeX_ref,          # VMEM (1, 8, n1p) f32
+               codes_st,                 # scratch (8, 8, n1p) i32
+               tailM_st, tailX_st, tailY_st,      # scratch (8, 8, n1p) f32
+               ringW, ringY, ringX,               # scratch (R, 8, n1p) f32
+               C2w_ref,                  # scratch (op, 8, n1p) f32
+               accV,                     # scratch (5, 8, n1p) f32
+               accC,                     # scratch (3, 8, n1p) i32
+               semout):
+        g = pl.program_id(0)
+        nblk = scal_ref[g, 0]
+        end_lo = scal_ref[g, 1]
+        nlen1max = scal_ref[g, 2]
+        nlen2max = scal_ref[g, 3]
+
+        O1v = O1_ref[0]                  # (8, 128) i32
+        O2v = O2_ref[0]
+        iv = IV_ref[0]
+        n1 = iv[:, 0:1]                  # (8, 1) i32
+        n2 = iv[:, 1:2]
+        par = PAR_ref[0]
+        ge = par[:, 0:1]                 # (8, 1) f32
+        gi = par[:, 1:2]
+        sg = par[:, 2:3]
+        si = par[:, 3:4]
 
         ys = jax.lax.broadcasted_iota(i32, (1, n1p), 1)
-        lmax_ii = jax.lax.broadcasted_iota(i32, (1, Lmax), 1)
-        negrow = jnp.full((1, n1p), NEG)
+        neg8 = jnp.full((8, n1p), NEG)
+        IY, IYB, IX, IXB, IM = 0, 1, 2, 3, 4
+        CY, CX, CM = 0, 1, 2
 
-
-        # ---------------- primitives ----------------
-        def ring_row(rg, k, valid):
-            """Ring row at traced slot k; NEG row when not valid.  Two-level
-            chained where-select (dynamic sublane reads hang Mosaic)."""
-            tile = k // 8
-            sub = k - tile * 8
-            acc = rg[0:8, :]
+        def ring_read(rg, kvec, valid):
+            """Ring slot kvec (8,1) per-sublane; NEG rows when not valid.
+            Two-level chained select (dynamic sublane reads hang Mosaic):
+            RT chunk selects on (8, 8, n1p) then 8 row selects — R/8 + 8
+            instructions instead of R."""
+            kc = kvec.reshape(1, 8, 1)
+            tile = kc // 8
+            sub = kc - tile * 8
+            acc3 = rg[0:8]
             for t in range(1, RT):
-                acc = jnp.where(tile == t, rg[8 * t:8 * t + 8, :], acc)
-            row = acc[0:1, :]
-            for r in range(1, 8):
-                row = jnp.where(sub == r, acc[r:r + 1, :], row)
-            return jnp.where(valid, row, negrow)
+                acc3 = jnp.where(tile == t, rg[8 * t:8 * t + 8], acc3)
+            row = acc3[0]
+            for r in range(1, min(8, R)):
+                row = jnp.where(sub[0] == r, acc3[r], row)
+            return jnp.where(valid, row, NEG)
 
         def shift_rows(row, o):
-            """row[0, y] -> row[0, y-o], head filled with NEG."""
-            if dynroll:
-                rolled = pltpu.roll(row, o, axis=1)
-            else:
-                rolled = row
-                for bit in range(NBITS):
-                    sh = 1 << bit
-                    rolled = jnp.where((o & sh) != 0,
-                                       pltpu.roll(rolled, sh, axis=1), rolled)
-            return jnp.where(ys >= o, rolled, NEG)
+            """row[s, y] -> row[s, y - o[s]], head lanes filled with NEG."""
+            r = row
+            for bit in range(NB):
+                sh = 1 << bit
+                r = jnp.where((o & sh) != 0, pltpu.roll(r, sh, axis=1), r)
+            return jnp.where(ys >= o, r, NEG)
 
-        # ---------------- fill ----------------
-        def _fill_one(d, Sd, C2d):
-            """One diagonal.  Sd [1, n1p]; C2d [o2p, n1p] (costs at lane y
-            = C2[d-y, j]).
+        def acc_cand(slotV, slotC, cand, code):
+            """Strict-improvement max + first-attainer code tracking."""
+            a = accV[slotV]
+            upd = cand > a
+            accV[slotV] = jnp.where(upd, cand, a)
+            accC[slotC] = jnp.where(upd, code, accC[slotC])
 
-            Candidate accumulation goes through VMEM scratch rows so each
-            offset slot's body sits under ``pl.when(slot < actual count)``
-            — padded slots are SKIPPED at runtime, not just masked.  A
-            level of near-chains (2 real offsets in a 16-slot bucket) does
-            ~60x less ring-select work.  Order-exact: every skipped
-            candidate is a FLOOR no-op under fmax."""
+        def when_slot(cond):
+            """Skip padded offset slots at runtime — but only for the big
+            tiers: a pl.when region costs ~2.4 us on this chip (measured),
+            so for op <= 4 running the padded slots unconditionally is
+            cheaper (their COST_INF candidates are FLOOR no-ops under the
+            strict-improvement accumulate)."""
+            if op >= 8:
+                return pl.when(cond)
+            return lambda f: f()
+
+        def _fill_one(d, Sd, C2ins):
+            """One diagonal.  Sd (8, n1p): S row of diag d; C2ins (8, op):
+            C2 costs of edges into node x = d (per pair, per slot)."""
             xs = d - ys
             slot = jax.lax.rem(d, R)
 
-            accS[0:1, :] = jnp.full((1, n1p), FLOOR)   # Sm
-            accS[1:2, :] = jnp.full((1, n1p), FLOOR)   # Sy
-            accS[2:3, :] = jnp.full((1, n1p), FLOOR)   # SyB
-            accS[3:4, :] = jnp.full((1, n1p), FLOOR)   # Sx
-            accS[4:5, :] = jnp.full((1, n1p), FLOOR)   # SxB
-            for i in range(o1p):
-                @pl.when(i < nlen1)
+            # C2 window roll: C2w[j][s, y] = C2 cost into node (d - y) at
+            # offset slot j — a lane roll + head insert per diagonal
+            # replaces round 3's O(D*o2p*n1p) sheared HBM array
+            for j in range(op):
+                @when_slot(j < nlen2max)
+                def _(j=j):
+                    ins = C2ins[:, j:j + 1]
+                    C2w_ref[j] = jnp.where(ys == 0, ins,
+                                           pltpu.roll(C2w_ref[j], 1, axis=1))
+
+            accV[IY] = jnp.full((8, n1p), FLOOR)
+            accV[IYB] = jnp.full((8, n1p), FLOOR)
+            accV[IX] = jnp.full((8, n1p), FLOOR)
+            accV[IXB] = jnp.full((8, n1p), FLOOR)
+            accV[IM] = jnp.full((8, n1p), FLOOR)
+            accC[CY] = jnp.zeros((8, n1p), i32)
+            accC[CX] = jnp.zeros((8, n1p), i32)
+            accC[CM] = jnp.zeros((8, n1p), i32)
+
+            # g1-offset slots in DESCENDING offset order = ascending
+            # predecessor index = PredIterator order (tie-break parity)
+            for i in reversed(range(op)):
+                @when_slot(i < nlen1max)
                 def _(i=i):
-                    o1i = scal_ref[b, i]
-                    ci = C1T_ref[0, i:i + 1, :]
+                    o1i = O1v[:, i:i + 1]
+                    ci = C1T_ref[0][i]
                     ki = jax.lax.rem(d - o1i + R, R)
                     vi = d - o1i >= 0
-                    w_sh = shift_rows(ring_row(ringW, ki, vi), o1i)
-                    y_sh = shift_rows(ring_row(ringY, ki, vi), o1i)
-                    accS[1:2, :] = jnp.fmax(
-                        accS[1:2, :],
-                        jnp.fmax(y_sh + ge, w_sh + gi) - ci)
-                    accS[2:3, :] = jnp.fmax(
-                        accS[2:3, :],
-                        jnp.fmax(y_sh + ge, w_sh + sg) - ci)
-                    for j in range(o2p):
-                        @pl.when(j < nlen2)
+                    w_sh = shift_rows(ring_read(ringW, ki, vi), o1i)
+                    y_sh = shift_rows(ring_read(ringY, ki, vi), o1i)
+                    t_ge = y_sh + ge
+                    # Y candidates in per-edge order: Y-move then W-move
+                    acc_cand(IY, CY, t_ge - ci, (i << 1) | 0)
+                    acc_cand(IY, CY, (w_sh + gi) - ci, (i << 1) | 1)
+                    accV[IYB] = jnp.fmax(accV[IYB],
+                                         jnp.fmax(t_ge, w_sh + sg) - ci)
+                    for j in reversed(range(op)):
+                        @when_slot(j < nlen2max)
                         def _(i=i, j=j, o1i=o1i, ci=ci):
-                            o2j = scal_ref[b, o1p + j]
-                            cj = C2d[j:j + 1, :]
+                            o2j = O2v[:, j:j + 1]
                             kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
                             vij = d - o1i - o2j >= 0
-                            w2 = shift_rows(ring_row(ringW, kij, vij), o1i)
-                            accS[0:1, :] = jnp.fmax(
-                                accS[0:1, :], ((w2 + Sd) - ci) - cj)
+                            w2 = shift_rows(ring_read(ringW, kij, vij), o1i)
+                            acc_cand(IM, CM,
+                                     ((w2 + Sd) - ci) - C2w_ref[j],
+                                     (i << 4) | j)
 
-            for j in range(o2p):
-                @pl.when(j < nlen2)
+            for j in reversed(range(op)):
+                @when_slot(j < nlen2max)
                 def _(j=j):
-                    o2j = scal_ref[b, o1p + j]
-                    cj = C2d[j:j + 1, :]
+                    o2j = O2v[:, j:j + 1]
+                    cj = C2w_ref[j]
                     kj = jax.lax.rem(d - o2j + R, R)
                     vj = d - o2j >= 0
-                    xj = ring_row(ringX, kj, vj)
-                    wj = ring_row(ringW, kj, vj)
-                    accS[3:4, :] = jnp.fmax(
-                        accS[3:4, :],
-                        jnp.fmax(xj + ge, wj + gi) - cj)
-                    accS[4:5, :] = jnp.fmax(
-                        accS[4:5, :],
-                        jnp.fmax(xj + ge, wj + sg) - cj)
-            Sm = accS[0:1, :]
-            Sy = accS[1:2, :]
-            SyB = accS[2:3, :]
-            Sx = accS[3:4, :]
-            SxB = accS[4:5, :]
+                    xj = ring_read(ringX, kj, vj)
+                    wj = ring_read(ringW, kj, vj)
+                    t_ge = xj + ge
+                    acc_cand(IX, CX, t_ge - cj, (j << 1) | 0)
+                    acc_cand(IX, CX, (wj + gi) - cj, (j << 1) | 1)
+                    accV[IXB] = jnp.fmax(accV[IXB],
+                                         jnp.fmax(t_ge, wj + sg) - cj)
 
             interior = (ys >= 1) & (ys <= n1 - 2) & (xs >= 1) & (xs <= n2 - 2)
             b_x0 = (xs == 0) & (ys >= 1) & (ys <= n1 - 2)
             b_y0 = (ys == 0) & (xs >= 1) & (xs <= n2 - 2)
 
+            Sm, Sy, SyB = accV[IM], accV[IY], accV[IYB]
+            Sx, SxB = accV[IX], accV[IXB]
             Mrow = jnp.where(interior, Sm, NEG)
             Xrow = jnp.where(interior, Sx, jnp.where(b_y0, SxB, NEG))
             Yrow = jnp.where(interior, Sy, jnp.where(b_x0, SyB, NEG))
@@ -221,106 +389,138 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
             Yrow = jnp.maximum(Yrow, NEG)
             Wrow = jnp.maximum(Wrow, NEG)
 
-            trow = jax.lax.rem(d, 8)
-            M_ref[pl.ds(trow, 1), :] = Mrow
-            X_ref[pl.ds(trow, 1), :] = Xrow
-            Y_ref[pl.ds(trow, 1), :] = Yrow
-            W_ref[pl.ds(trow, 1), :] = Wrow
-            SdV_ref[pl.ds(trow, 1), :] = Sd
-            ringM[pl.ds(slot, 1), :] = Mrow
-            ringX[pl.ds(slot, 1), :] = Xrow
-            ringY[pl.ds(slot, 1), :] = Yrow
-            ringW[pl.ds(slot, 1), :] = Wrow
+            # W-state resolution order M, Y, X (backtrack.py:130-137)
+            wst = jnp.where(Wrow == Mrow, ST_M,
+                            jnp.where(Wrow == Yrow, ST_Y, ST_X)).astype(i32)
+            code = (accC[CM] | (accC[CY] << 8) | (accC[CX] << 13)
+                    | (wst << 18))
 
-        # init diagonal 0 (cell (0,0))
-        w0row = jnp.where(ys == 0, start_init, NEG)
-        M_ref[0:1, :] = negrow
-        X_ref[0:1, :] = negrow
-        Y_ref[0:1, :] = negrow
-        W_ref[0:1, :] = w0row
-        SdV_ref[0:1, :] = negrow
-        ringM[0:1, :] = negrow
-        ringX[0:1, :] = negrow
-        ringY[0:1, :] = negrow
-        ringW[0:1, :] = w0row
+            trow = jax.lax.rem(d, 8)
+            codes_st[pl.ds(trow, 1)] = code[None]
+            ringW[pl.ds(slot, 1)] = Wrow[None]
+            ringY[pl.ds(slot, 1)] = Yrow[None]
+            ringX[pl.ds(slot, 1)] = Xrow[None]
+
+            # boundary value stripes: stripeY[s, y] = Y[y, 0] (== W[y, 0]),
+            # stripeX[s, x] = X[0, x] (== W[0, x]); consumed by the chase's
+            # boundary argmin replay (backtrack.py:140-172)
+            stripeY_ref[0] = jnp.where(ys == d, Yrow, stripeY_ref[0])
+            stripeX_ref[0] = jnp.where(ys == d, Xrow[:, 0:1],
+                                       stripeX_ref[0])
+
+            @pl.when(d >= end_lo)
+            def _():
+                tailM_st[pl.ds(trow, 1)] = Mrow[None]
+                tailX_st[pl.ds(trow, 1)] = Xrow[None]
+                tailY_st[pl.ds(trow, 1)] = Yrow[None]
+
+        # ---- init: diagonal 0 (cell (0,0)) ----
+        w0row = jnp.where(ys == 0, si, NEG)
+        ringW[0:1] = w0row[None]
+        ringY[0:1] = neg8[None]
+        ringX[0:1] = neg8[None]
+        codes_st[0:1] = jnp.zeros((1, 8, n1p), i32)
+        tailM_st[0:1] = neg8[None]
+        tailX_st[0:1] = neg8[None]
+        tailY_st[0:1] = neg8[None]
+        stripeY_ref[0] = neg8
+        stripeX_ref[0] = neg8
+        for j in range(op):
+            C2w_ref[j] = jnp.full((8, n1p), COST_INF)
 
         def fill_loop(Swin, C2win, sem1, sem2):
-            nblk = (D + 7) // 8
+            def flush(base8):
+                cp = pltpu.make_async_copy(
+                    codes_st.at[:], codes_out.at[g, pl.ds(base8, 8)], semout)
+                cp.start()
+                cp.wait()
 
-            def flush(base8, nrows):
-                for ref, out in ((M_ref, outM_ref), (X_ref, outX_ref),
-                                 (Y_ref, outY_ref), (W_ref, outW_ref),
-                                 (SdV_ref, outSd_ref)):
-                    cp = pltpu.make_async_copy(
-                        ref.at[pl.ds(0, nrows)],
-                        out.at[b, pl.ds(base8, nrows)], semout)
-                    cp.start()
-                    cp.wait()
+                @pl.when(base8 >= end_lo)
+                def _():
+                    tb = base8 - end_lo
+                    for st_ref, out in ((tailM_st, tailM_out),
+                                        (tailX_st, tailX_out),
+                                        (tailY_st, tailY_out)):
+                        cp2 = pltpu.make_async_copy(
+                            st_ref.at[:], out.at[g, pl.ds(tb, 8)], semout)
+                        cp2.start()
+                        cp2.wait()
 
             def blk_body(blk, c):
                 base = blk * 8
                 cp1 = pltpu.make_async_copy(
-                    Sdiag_ref.at[b, pl.ds(base, 8)], Swin, sem1)
+                    Sdiag_ref.at[g, pl.ds(base, 8)], Swin, sem1)
                 cp2 = pltpu.make_async_copy(
-                    C2diag_ref.at[b, pl.ds(base + 1, 8)], C2win, sem2)
+                    C2c_ref.at[g, pl.ds(base + 1, 8)], C2win, sem2)
                 cp1.start()
                 cp2.start()
                 cp1.wait()
                 cp2.wait()
                 for t in range(8):
                     d = base + t + 1
-                    # plane rows [base, base+8) are all staged exactly
-                    # between d=base+7 (t=6, staging row 7) and d=base+8
-                    # (t=7, which overwrites staging row 0 = diag base)
+                    # staging rows [base, base+8) are all complete exactly
+                    # between d=base+7 (t=6, row 7) and d=base+8 (t=7,
+                    # which overwrites row 0 = diag base)
                     if t == 7:
-                        flush(base, 8)
-
-                    @pl.when(d < D)
-                    def _():
-                        _fill_one(d, Swin[t:t + 1, :], C2win[t])
+                        flush(base)
+                    _fill_one(d, Swin[t], C2win[t])
                 return c
 
             jax.lax.fori_loop(0, nblk, blk_body, 0)
-            # the final block's t=7 diagonal (d = 8*nblk) sits in staging
-            # row 0; rows 1..7 of this tail window are past-D junk the
-            # traceback never reads (it stops at d <= n1+n2-4 < D)
-            flush(nblk * 8, 8)
+            flush(nblk * 8)
 
         pl.run_scoped(
             fill_loop,
-            Swin=pltpu.VMEM((8, n1p), jnp.float32),
-            C2win=pltpu.VMEM((8, o2p, n1p), jnp.float32),
+            Swin=pltpu.VMEM((8, 8, n1p), jnp.float32),
+            C2win=pltpu.VMEM((8, 8, 128), jnp.float32),
             sem1=pltpu.SemaphoreType.DMA(()),
             sem2=pltpu.SemaphoreType.DMA(()),
         )
 
-
-    # --------------- pallas_call wiring ---------------
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # Sdiag (DMA'd)
-            pl.BlockSpec((1, o1p, n1p), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # C2diag (DMA'd)
-            # whole-array SMEM (B x 16 floats, indexed by program_id):
-            # a (1, 16) *block* over a [B, 16] array violates Mosaic's
-            # block-tiling rule for B > 1 (last two dims must tile (8, 128)
-            # or equal the array dims) — unblocked SMEM has no such rule
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # O1
+            pl.BlockSpec((1, 8, 128), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # O2
+            pl.BlockSpec((1, 8, 128), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # IV
+            pl.BlockSpec((1, 8, 128), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # PAR
+            pl.BlockSpec((1, op, 8, n1p), lambda g, s: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # C1T
+            pl.BlockSpec(memory_space=pltpu.ANY),         # Sdiag (DMA'd)
+            pl.BlockSpec(memory_space=pltpu.ANY),         # C2c (DMA'd)
         ],
-        # whole arrays in HBM: the kernel streams 8-row windows into them
-        # by DMA, so VMEM never holds an O(D x n1p) plane — sequence
-        # length is bounded by HBM, not VMEM
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        scratch_shapes=[pltpu.VMEM((8, n1p), jnp.float32)] * 5
-        + [pltpu.VMEM((ring, n1p), jnp.float32)] * 4
-        + [pltpu.VMEM((8, n1p), jnp.float32)]
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),         # codes
+            pl.BlockSpec(memory_space=pltpu.ANY),         # tailM
+            pl.BlockSpec(memory_space=pltpu.ANY),         # tailX
+            pl.BlockSpec(memory_space=pltpu.ANY),         # tailY
+            pl.BlockSpec((1, 8, n1p), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # stripeY
+            pl.BlockSpec((1, 8, n1p), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # stripeX
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 8, n1p), jnp.int32)]       # codes_st
+        + [pltpu.VMEM((8, 8, n1p), jnp.float32)] * 3              # tail st
+        + [pltpu.VMEM((R, 8, n1p), jnp.float32)] * 3              # rings
+        + [pltpu.VMEM((op, 8, n1p), jnp.float32)]                 # C2w
+        + [pltpu.VMEM((5, 8, n1p), jnp.float32)]                  # accV
+        + [pltpu.VMEM((3, 8, n1p), jnp.int32)]                    # accC
         + [pltpu.SemaphoreType.DMA(())],
     )
 
-    out_shape = [jax.ShapeDtypeStruct((B, DBv, n1p), jnp.float32)] * 5
+    out_shape = [
+        jax.ShapeDtypeStruct((G, DBv, 8, n1p), jnp.int32),
+        jax.ShapeDtypeStruct((G, TCAP, 8, n1p), jnp.float32),
+        jax.ShapeDtypeStruct((G, TCAP, 8, n1p), jnp.float32),
+        jax.ShapeDtypeStruct((G, TCAP, 8, n1p), jnp.float32),
+        jax.ShapeDtypeStruct((G, 8, n1p), jnp.float32),
+        jax.ShapeDtypeStruct((G, 8, n1p), jnp.float32),
+    ]
 
     call = pl.pallas_call(
         kernel,
@@ -330,24 +530,92 @@ def _make_kernel(B: int, n1p: int, n2p: int, o1p: int, o2p: int, e1p: int,
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024)),
     )
-    return jax.jit(call)
+
+    def wrapped(scal, O1, O2, IV, PAR, C1T, Sdiag, C2c):
+        # the C2 cost array travels compact [G, DBv, 8, op] and is padded
+        # to the 128-lane tile on device (DMA slices must be lane-aligned)
+        C2p = jnp.pad(C2c, ((0, 0), (0, 0), (0, 0), (0, 128 - op)),
+                      constant_values=COST_INF)
+        return call(scal, O1, O2, IV, PAR, C1T, Sdiag, C2p)
+
+    return jax.jit(wrapped)
 
 
-@functools.lru_cache(maxsize=64)
-def _make_bt(e1p: int, e2p: int, Lmax: int):
-    """Batched on-device traceback over the fill kernel's diagonal planes.
+# ---------------------------------------------------------------------------
+# device prologue: exact S, sheared to group-major diagonal layout
 
-    Mosaic cannot lower the traceback (every step is a data-dependent
-    dynamic-lane VMEM read, which this toolchain rejects outright), so it
-    runs as ordinary XLA under jit, vectorized over the batch: each step
-    evaluates every candidate transition of the current state at once and
-    takes the FIRST argmin of |stored - candidate| — exactly the host
-    scan\'s strict-improvement rule (a later candidate wins only when
-    strictly better, so the winner is the first minimum in PredIterator
-    order; align/backtrack.py, GraphAlign.h:283-517).  All arithmetic is
-    the same f32 adds/subs as the host path, so mappings are
-    byte-identical.  Nothing O(n1*n2) leaves the device.
-    """
+
+@functools.lru_cache(maxsize=8)
+def _make_prologue(dim: int):
+    import jax
+    import jax.numpy as jnp
+    from .scores_device import make_exact_S
+
+    exact_S = make_exact_S(dim)
+
+    def prologue(g1s, g2s, M, pi, match_init, n1, n2):
+        """-> Sdiag [G, DBv, 8, n1p]; row k of the diag dim = S diagonal
+        k+1 (Sdiag[.., k, s, y] = S[y, k+1-y]).  Shapes: g1s [B, n1p, dim],
+        g2s [B, n2cap, dim]; B = 8*G; DBv inferred from n1p + n2cap."""
+        B, n1p, _ = g1s.shape
+        n2cap = g2s.shape[1]
+        DBv = _dbv_for(n1p, n2cap)
+
+        def one(g1s_, g2s_, M_, pi_, mi_, n1_, n2_):
+            S = exact_S(g1s_, g2s_, M_, pi_, mi_, n1_, n2_)   # [n1p, n2cap]
+            ys = jnp.arange(n1p)
+            dgrid = jnp.arange(1, DBv + 1)[:, None]
+            xg = dgrid - ys[None, :]
+            ok = (xg >= 0) & (xg < n2cap)
+            Sd = jnp.where(ok, S[jnp.broadcast_to(ys[None, :], (DBv, n1p)),
+                                 jnp.clip(xg, 0, n2cap - 1)], NEG)
+            return jnp.where(jnp.isnan(Sd) | (Sd < NEG), NEG, Sd)
+
+        Sdiag = jax.vmap(one)(g1s, g2s, M, pi, match_init, n1, n2)
+        return jnp.transpose(Sdiag.reshape(B // 8, 8, DBv, n1p),
+                             (0, 2, 1, 3)).astype(jnp.float32)
+
+    return jax.jit(prologue, static_argnames=())
+
+
+def _dbv_for(n1p: int, n2cap: int) -> int:
+    """Static diag capacity covering fill + DMA windows, bucketed to 256
+    multiples so kernel shapes repeat across levels."""
+    need = n1p + n2cap + 16
+    return ((need + 255) // 256) * 256
+
+
+def _host_sdiag_group(infos_grp, n1p, DBv):
+    """Host-computed exact S (non-TPU backends: XLA:CPU's FMA contraction
+    breaks the device replay) sheared to the group layout."""
+    from .scores import precompute_scores
+
+    Sdiag = np.full((len(infos_grp), DBv, 8, n1p), NEG, np.float32)
+    ys = np.arange(n1p)
+    dgrid = np.arange(1, DBv + 1)[:, None]
+    xg = dgrid - ys[None, :]
+    for gi_, group in enumerate(infos_grp):
+        for s, info in enumerate(group):
+            if info.idx < 0:
+                continue                      # dummy pad pair: S stays NEG
+            S = precompute_scores(info.g1, info.g2, info.model, info.scores)
+            n1, n2 = info.n1, info.n2
+            Sp = np.full((n1p, max(n2, 1)), NEG, np.float32)
+            Sp[:n1, :n2] = S
+            ok = (xg >= 0) & (xg < n2)
+            Sd = np.where(ok, Sp[np.broadcast_to(ys[None, :], (DBv, n1p)),
+                                 np.clip(xg, 0, n2 - 1)], NEG)
+            Sdiag[gi_, :, s, :] = np.where(np.isnan(Sd) | (Sd < NEG), NEG,
+                                           Sd)
+    return Sdiag
+
+
+# ---------------------------------------------------------------------------
+# XLA code chase (traceback)
+
+
+@functools.lru_cache(maxsize=4)
+def _make_chase():
     import jax
     import jax.numpy as jnp
 
@@ -355,243 +623,229 @@ def _make_bt(e1p: int, e2p: int, Lmax: int):
     NEGc = jnp.float32(NEG)
     BIGc = jnp.float32(BIG)
 
-    def bt(scal, E1i, E1c, E1r, E2i, E2c, E2r, par, PM, PX, PY, PW, PS,
-           n1b, n2b):
-        B = n1b.shape[0]
+    def take(flat, idx):
+        return jnp.take(flat, idx, mode="clip")
+
+    def chase(codes, tailM, tailX, tailY, stripeY, stripeX,
+              O1b, O2b, C1f, C2f, R1f, R2f, parb, n1b, n2b, end_lob):
+        """codes [G, DBv, 8, n1p] i32; tails [G, TCAP, 8, n1p] f32;
+        stripes [G, 8, n1p] f32; O1b/O2b [B, op] i32; C1f/C2f [B, n1p|n2cap
+        -> padded np, op] f32; R1f/R2f same shape i32; parb [B, 8] f32
+        (ge, gi, sg, si, em, eg, es); n1b/n2b/end_lob [B] i32.
+        Returns (m1 [B, Lm] i32, m2, meta [B, 16] f32)."""
+        G, DBv, _, n1p = codes.shape
+        TCAP = tailM.shape[1]
+        B, op = O1b.shape
+        npad1 = C1f.shape[1]
+        npad2 = C2f.shape[1]
+        Lm = DBv + 8
         bidx = jnp.arange(B)
-        ge, gi = par[:, 0], par[:, 1]
-        start_init = par[:, 3]
-        end_match, end_gap, end_skip = par[:, 4], par[:, 5], par[:, 6]
-        ae1 = jnp.arange(e1p)
-        ae2 = jnp.arange(e2p)
+        gb = bidx // 8
+        sb = bidx % 8
+        ge, gi = parb[:, 0], parb[:, 1]
+        si = parb[:, 3]
+        em, eg, es = parb[:, 4], parb[:, 5], parb[:, 6]
 
-        def cellv(P, d, y):
-            """P[b, d_b..., y_b...] for index arrays broadcast over b."""
-            bb = bidx.reshape((B,) + (1,) * (d.ndim - 1))
-            return P[bb, d, y]
+        codesf = codes.reshape(-1)
+        tailMf = tailM.reshape(-1)
+        tailXf = tailX.reshape(-1)
+        tailYf = tailY.reshape(-1)
+        strYf = stripeY.reshape(-1)
+        strXf = stripeX.reshape(-1)
+        C1ff = C1f.reshape(-1)
+        C2ff = C2f.reshape(-1)
+        R1ff = R1f.reshape(-1)
+        R2ff = R2f.reshape(-1)
 
-        def mval(y, x):
-            return jnp.where((y == 0) & (x == 0), NEGc, cellv(PM, y + x, y))
+        def code_at(y, x):
+            d = y + x
+            return take(codesf, ((gb * DBv + d) * 8 + sb) * n1p + y)
 
-        def xval(y, x):
-            return jnp.where((y == 0) & (x == 0), NEGc, cellv(PX, y + x, y))
+        def tail_at(flatP, yp, xp):
+            """[..., extra] tail gather; yp/xp [B, ...]; invalid -> NEG."""
+            ex = yp.shape[1:]
+            gbe = gb.reshape((B,) + (1,) * len(ex))
+            sbe = sb.reshape((B,) + (1,) * len(ex))
+            lo = end_lob.reshape((B,) + (1,) * len(ex))
+            t = yp + xp - lo
+            ok = (t >= 0) & (t < TCAP) & ~((yp == 0) & (xp == 0))
+            v = take(flatP, ((gbe * TCAP + jnp.clip(t, 0, TCAP - 1)) * 8
+                             + sbe) * n1p + yp)
+            return jnp.where(ok, v, NEGc)
 
-        def yval(y, x):
-            return jnp.where((y == 0) & (x == 0), NEGc, cellv(PY, y + x, y))
+        def stripe_at(flatP, pos):
+            ex = pos.shape[1:]
+            gbe = gb.reshape((B,) + (1,) * len(ex))
+            sbe = sb.reshape((B,) + (1,) * len(ex))
+            return take(flatP, (gbe * 8 + sbe) * n1p + pos)
 
-        def wval(y, x):
-            si = start_init.reshape((B,) + (1,) * (y.ndim - 1))
-            return jnp.where((y == 0) & (x == 0), si, cellv(PW, y + x, y))
-
-        def sval(y, x):
-            return cellv(PS, y + x, y)
-
-        def resolve_w(ny, nx):
-            w = wval(ny, nx)
-            m = mval(ny, nx)
-            yy = yval(ny, nx)
-            xx = xval(ny, nx)
-            st = jnp.where(w == m, ST_M, jnp.where(w == yy, ST_Y, ST_X))
-            sc = jnp.where(w == m, m, jnp.where(w == yy, yy, xx))
-            return sc, st.astype(i32)
-
-        def edges1(y):
-            """All e1p edge slots of node y per pair: ([B,e1p] idx, cost,
-            rep)."""
-            return (E1i[bidx[:, None], y[:, None], ae1[None, :]],
-                    E1c[bidx[:, None], y[:, None], ae1[None, :]],
-                    E1r[bidx[:, None], y[:, None], ae1[None, :]])
-
-        def edges2(x):
-            return (E2i[bidx[:, None], x[:, None], ae2[None, :]],
-                    E2c[bidx[:, None], x[:, None], ae2[None, :]],
-                    E2r[bidx[:, None], x[:, None], ae2[None, :]])
-
-        yend, xend = n1b - 1, n2b - 1
-        E1iE, E1cE, E1rE = edges1(yend)
-        E2iE, E2cE, E2rE = edges2(xend)
-        yE = jnp.maximum(E1iE, 0)[:, :, None]            # [B, e1p, 1]
-        xE = jnp.maximum(E2iE, 0)[:, None, :]            # [B, 1, e2p]
-        cyE = E1cE[:, :, None]
-        cxE = E2cE[:, None, :]
-        vE = (E1iE >= 0)[:, :, None] & (E2iE >= 0)[:, None, :]
-        yEb = jnp.broadcast_to(yE, (B, e1p, e2p))
-        xEb = jnp.broadcast_to(xE, (B, e1p, e2p))
-        mE = mval(yEb, xEb)
-        yyE = yval(yEb, xEb)
-        xxE = xval(yEb, xEb)
-        both0E = (yEb == 0) & (xEb == 0)
-        em = end_match[:, None, None]
-        eg = end_gap[:, None, None]
-        es = end_skip[:, None, None]
-
-        # Wend (GraphAlign.h:262-280): pure max — order-free, all finite
-        candE = jnp.fmax(jnp.fmax(((xxE + eg) - cyE) - cxE,
-                                  ((yyE + eg) - cyE) - cxE),
-                         ((mE + em) - cyE) - cxE)
-        candE = jnp.where(both0E, jnp.fmax(candE, (es - cyE) - cxE), candE)
-        candE = jnp.where(vE, candE, FLOOR)
-        Wend = jnp.fmax(jnp.full(B, FLOOR),
-                        candE.reshape(B, -1).max(axis=1))
-
-        # end transition (GraphAlign.h:304-353): first argmin of
-        # |Wend - candidate| in scan order (a, bb, [M, Y, X, skip])
-        Wb = Wend[:, None, None]
-        dM = jnp.abs(Wb - (((mE + em) - cyE) - cxE))
-        dY = jnp.abs(Wb - (((yyE + eg) - cyE) - cxE))
-        dX = jnp.abs(Wb - (((xxE + eg) - cyE) - cxE))
-        dS = jnp.abs(Wb - ((es - cyE) - cxE))
-        cand4 = jnp.stack([dM, dY, dX, dS], axis=3)      # [B,e1p,e2p,4]
-        v4 = jnp.stack([vE, vE, vE, vE & both0E], axis=3)
-        cand4 = jnp.where(v4, cand4, BIGc).reshape(B, -1)
-        k0 = jnp.argmin(cand4, axis=1).astype(i32)       # first minimum
-        bestE = jnp.take_along_axis(cand4, k0[:, None], axis=1)[:, 0]
-        t0_ = k0 % 4
+        # ---- end transition (GraphAlign.h:304-353 / backtrack.py:75-108)
+        # candidate order: slots in descending offset (= PredIterator
+        # ascending-p) outer over g1, inner over g2, then [M, Y, X, skip]
+        o1d = O1b[:, ::-1]                       # descending offsets
+        o2d = O2b[:, ::-1]
+        yend = (n1b - 1)[:, None]
+        xend = (n2b - 1)[:, None]
+        ypi = yend - o1d                         # [B, op]
+        xpi = xend - o2d
+        cyE = C1f[bidx, n1b - 1][:, ::-1]        # [B, op] desc-slot order
+        cxE = C2f[bidx, n2b - 1][:, ::-1]
+        yp2 = jnp.broadcast_to(ypi[:, :, None], (B, op, op))
+        xp2 = jnp.broadcast_to(xpi[:, None, :], (B, op, op))
+        okp = (yp2 >= 0) & (xp2 >= 0)
+        ypc = jnp.maximum(yp2, 0)
+        xpc = jnp.maximum(xp2, 0)
+        Mv = tail_at(tailMf, ypc, xpc)
+        Yv = tail_at(tailYf, ypc, xpc)
+        Xv = tail_at(tailXf, ypc, xpc)
+        cy2 = cyE[:, :, None]
+        cx2 = cxE[:, None, :]
+        emb = em[:, None, None]
+        egb = eg[:, None, None]
+        candM = ((Mv + emb) - cy2) - cx2
+        candY = ((Yv + egb) - cy2) - cx2
+        candX = ((Xv + egb) - cy2) - cx2
+        both0 = (yp2 == 0) & (xp2 == 0)
+        candS = jnp.where(both0, (es[:, None, None] - cy2) - cx2, -BIGc)
+        valid = okp & (cy2 < COST_INF) & (cx2 < COST_INF)
+        c4 = jnp.stack([candM, candY, candX, candS], axis=3)
+        v4 = jnp.stack([valid, valid, valid, valid & both0], axis=3)
+        c4m = jnp.where(v4, c4, -BIGc)
+        Wend = c4m.reshape(B, -1).max(axis=1)
+        diff = jnp.where(v4, jnp.abs(Wend[:, None, None, None] - c4), BIGc)
+        k0 = jnp.argmin(diff.reshape(B, -1), axis=1).astype(i32)
+        t0 = k0 % 4
         ab0 = k0 // 4
-        a0_ = ab0 // e2p
-        b0_ = ab0 % e2p
-        flat = lambda A: A.reshape(B, -1)
-        pick = lambda A, k: jnp.take_along_axis(flat(A), k[:, None],
-                                                axis=1)[:, 0]
-        y0 = jnp.where(bestE < BIGc, pick(yEb, ab0), 0).astype(i32)
-        x0 = jnp.where(bestE < BIGc, pick(xEb, ab0), 0).astype(i32)
-        rep0 = jnp.where(bestE < BIGc,
-                         (pick(E1rE[:, :, None] + E2rE[:, None, :], ab0)
-                          > 0).astype(i32), 0)
-        st0 = jnp.where(t0_ == 0, ST_M,
-                        jnp.where(t0_ == 1, ST_Y, ST_X)).astype(i32)
-        sc0 = jnp.where(t0_ == 0, pick(mE, ab0),
-                        jnp.where(t0_ == 1, pick(yyE, ab0), pick(xxE, ab0)))
-        # a winning skip candidate drives (y0, x0) to the origin, so
-        # st0/sc0 are never consumed (live0 below is False) — any value ok
+        a0 = ab0 // op                           # position in DESC order
+        b0 = ab0 % op
+        i0 = (op - 1) - a0                       # real slot index
+        j0 = (op - 1) - b0
+        pick2 = lambda A: A.reshape(B, -1)[bidx, ab0]
+        y0 = jnp.maximum(pick2(yp2), 0)
+        x0 = jnp.maximum(pick2(xp2), 0)
+        st0 = jnp.where(t0 == 0, ST_M,
+                        jnp.where(t0 == 1, ST_Y, ST_X)).astype(i32)
+        # skip candidate wins -> origin (st unused)
+        y0 = jnp.where(t0 == 3, 0, y0)
+        x0 = jnp.where(t0 == 3, 0, x0)
+        rep0 = (take(R1ff, (bidx * npad1 + (n1b - 1)) * op + i0)
+                | take(R2ff, (bidx * npad2 + (n2b - 1)) * op + j0))
+        fail0 = rep0 > 0
 
-        lmax_ii = jnp.arange(Lmax)
-        map1 = jnp.full((B, Lmax), -2, i32)
-        map2 = jnp.full((B, Lmax), -2, i32)
+        lmax_ii = jnp.arange(Lm)
+        map1 = jnp.full((B, Lm), -2, i32)
+        map2 = jnp.full((B, Lm), -2, i32)
 
-        def push(maps, pos, y, x, valid):
+        def push(maps, pos, y, x, valid_):
             m1, m2 = maps
-            sel = valid[:, None] & (lmax_ii[None, :] == pos[:, None])
+            sel = valid_[:, None] & (lmax_ii[None, :] == pos[:, None])
             m1 = jnp.where(sel, y[:, None], m1)
             m2 = jnp.where(sel, x[:, None], m2)
-            return (m1, m2), jnp.where(valid, pos + 1, pos)
+            return (m1, m2), jnp.where(valid_, pos + 1, pos)
 
-        def push_state(maps, pos, y, x, st, valid):
+        def push_state(maps, pos, y, x, st, valid_):
             e1_ = jnp.where(st == ST_X, -1, y)
             e2_ = jnp.where(st == ST_Y, -1, x)
-            return push(maps, pos, e1_, e2_, valid)
+            return push(maps, pos, e1_, e2_, valid_)
 
-        maps, pos0 = push((map1, map2), jnp.zeros(B, i32), yend, xend,
-                          jnp.ones(B, bool))
+        maps, pos0 = push((map1, map2), jnp.zeros(B, i32),
+                          n1b - 1, n2b - 1, jnp.ones(B, bool))
         live0 = (x0 != 0) | (y0 != 0)
-        maps, pos1 = push_state(maps, pos0, y0, x0, st0, live0)
+        maps, pos1 = push_state(maps, pos0, y0, x0, st0, live0 & ~fail0)
+        code0 = code_at(y0, x0)
 
         def bt_cond(s):
-            y, x, st, sc, pos, fail, it, maps = s
-            return jnp.any(((y != 0) | (x != 0)) & (~fail)) & (it < Lmax)
+            y, x, st, code, pos, fail, it, maps_ = s
+            return jnp.any(((y != 0) | (x != 0)) & (~fail)) & (it < Lm)
 
         def bt_body(s):
-            y, x, st, sc, pos, fail, it, maps = s
+            y, x, st, code, pos, fail, it, maps_ = s
             act = ((y != 0) | (x != 0)) & (~fail)
-            scb = sc[:, None]
 
-            e1i, e1c, e1r = edges1(y)
-            e2i, e2c, e2r = edges2(x)
-            yp = jnp.maximum(e1i, 0)
-            xp = jnp.maximum(e2i, 0)
-            v1 = act[:, None] & (e1i >= 0) & (e1c < COST_INF)
-            v2 = act[:, None] & (e2i >= 0) & (e2c < COST_INF)
+            # interior decode straight from the fill's code word
+            iM = (code >> 4) & 15
+            jM = code & 15
+            rwY = (code >> 8) & 1
+            iY = (code >> 9) & 15
+            rwX = (code >> 13) & 1
+            jX = (code >> 14) & 15
 
-            # STATE_Y (host: backtrack.py:140-155): per a, candidates
-            # [yy-move, ww-move] in that order
-            yyv = yval(yp, x[:, None])
-            wwv = wval(yp, x[:, None])
-            dY1 = jnp.abs(scb - ((yyv + ge[:, None]) - e1c))
-            dY2 = jnp.abs(scb - ((wwv + gi[:, None]) - e1c))
-            vY = (st == ST_Y)[:, None] & v1
-            candY = jnp.where(vY[:, :, None],
-                              jnp.stack([dY1, dY2], axis=2),
-                              BIGc).reshape(B, -1)     # [B, 2*e1p]
-            kY = jnp.argmin(candY, axis=1).astype(i32)
-            bestY = jnp.take_along_axis(candY, kY[:, None], axis=1)[:, 0]
-            aY = kY // 2
-            yY = jnp.take_along_axis(yp, aY[:, None], axis=1)[:, 0]
-            repY = jnp.take_along_axis(e1r, aY[:, None], axis=1)[:, 0]
-            rwY = kY % 2
-            scY = jnp.take_along_axis(yyv, aY[:, None], axis=1)[:, 0]
+            # boundary-Y replay (x == 0; backtrack.py:140-155): stored used
+            # start_gap but candidates use gap_init -> explicit argmin
+            ypb = y[:, None] - O1b[:, ::-1]                  # desc order
+            okb = ypb >= 0
+            sy = stripe_at(strYf, jnp.maximum(ypb, 0))
+            yv = jnp.where(ypb == 0, NEGc, sy)
+            wv = jnp.where(ypb == 0, si[:, None], sy)
+            cyb = C1f[bidx, jnp.clip(y, 0, npad1 - 1)][:, ::-1]
+            csY = stripe_at(strYf, y[:, None])[:, 0]
+            d1 = jnp.abs(csY[:, None] - ((yv + ge[:, None]) - cyb))
+            d2 = jnp.abs(csY[:, None] - ((wv + gi[:, None]) - cyb))
+            candB = jnp.where(okb[:, :, None] & (cyb < COST_INF)[:, :, None],
+                              jnp.stack([d1, d2], 2), BIGc).reshape(B, -1)
+            kB = jnp.argmin(candB, axis=1).astype(i32)
+            iB = (op - 1) - (kB // 2)
+            rwB = kB % 2
 
-            # STATE_X (backtrack.py:157-172)
-            xxv = xval(y[:, None], xp)
-            wwx = wval(y[:, None], xp)
-            dX1 = jnp.abs(scb - ((xxv + ge[:, None]) - e2c))
-            dX2 = jnp.abs(scb - ((wwx + gi[:, None]) - e2c))
-            vX = (st == ST_X)[:, None] & v2
-            candX = jnp.where(vX[:, :, None],
-                              jnp.stack([dX1, dX2], axis=2),
-                              BIGc).reshape(B, -1)
-            kX = jnp.argmin(candX, axis=1).astype(i32)
-            bestX = jnp.take_along_axis(candX, kX[:, None], axis=1)[:, 0]
-            aX = kX // 2
-            xX = jnp.take_along_axis(xp, aX[:, None], axis=1)[:, 0]
-            repX = jnp.take_along_axis(e2r, aX[:, None], axis=1)[:, 0]
-            rwX = kX % 2
-            scX = jnp.take_along_axis(xxv, aX[:, None], axis=1)[:, 0]
+            # boundary-X replay (y == 0; backtrack.py:157-172)
+            xpb = x[:, None] - O2b[:, ::-1]
+            okb2 = xpb >= 0
+            sx = stripe_at(strXf, jnp.maximum(xpb, 0))
+            xv = jnp.where(xpb == 0, NEGc, sx)
+            wv2 = jnp.where(xpb == 0, si[:, None], sx)
+            cxb = C2f[bidx, jnp.clip(x, 0, npad2 - 1)][:, ::-1]
+            csX = stripe_at(strXf, x[:, None])[:, 0]
+            e1 = jnp.abs(csX[:, None] - ((xv + ge[:, None]) - cxb))
+            e2 = jnp.abs(csX[:, None] - ((wv2 + gi[:, None]) - cxb))
+            candB2 = jnp.where(okb2[:, :, None] & (cxb < COST_INF)[:, :, None],
+                               jnp.stack([e1, e2], 2), BIGc).reshape(B, -1)
+            kB2 = jnp.argmin(candB2, axis=1).astype(i32)
+            jB = (op - 1) - (kB2 // 2)
+            rwB2 = kB2 % 2
 
-            # STATE_M (backtrack.py:174-185): (a, bb) scan order
-            Sv = sval(jnp.maximum(y, 0), jnp.maximum(x, 0))
-            ypm = jnp.broadcast_to(yp[:, :, None], (B, e1p, e2p))
-            xpm = jnp.broadcast_to(xp[:, None, :], (B, e1p, e2p))
-            wwm = wval(ypm, xpm)
-            dMc = jnp.abs(scb[:, :, None]
-                          - (((wwm + Sv[:, None, None]) - e1c[:, :, None])
-                             - e2c[:, None, :]))
-            vM = ((st == ST_M)[:, None, None] & v1[:, :, None]
-                  & v2[:, None, :])
-            candM = jnp.where(vM, dMc, BIGc).reshape(B, -1)
-            kM = jnp.argmin(candM, axis=1).astype(i32)
-            bestM = jnp.take_along_axis(candM, kM[:, None], axis=1)[:, 0]
-            aM = kM // e2p
-            bM = kM % e2p
-            yM = jnp.take_along_axis(yp, aM[:, None], axis=1)[:, 0]
-            xM = jnp.take_along_axis(xp, bM[:, None], axis=1)[:, 0]
-            repM = ((jnp.take_along_axis(e1r, aM[:, None], axis=1)[:, 0]
-                     + jnp.take_along_axis(e2r, bM[:, None], axis=1)[:, 0])
-                    > 0).astype(i32)
-
-            # combine: exactly one state scan is live per lane
             isY = st == ST_Y
             isX = st == ST_X
-            best = jnp.where(isY, bestY, jnp.where(isX, bestX, bestM))
-            n_y = jnp.where(isY, yY, jnp.where(isX, y, yM))
-            n_x = jnp.where(isY, x, jnp.where(isX, xX, xM))
-            n_st = jnp.where(isY, ST_Y, jnp.where(isX, ST_X, ST_M))
-            n_sc = jnp.where(isY, scY, jnp.where(isX, scX, NEGc))
-            n_rep = jnp.where(isY, repY, jnp.where(isX, repX, repM))
-            n_rw = jnp.where(isY, rwY, jnp.where(isX, rwX, 1)).astype(i32)
-            found = best < BIGc
-            n_y = jnp.where(found, n_y, 0)
-            n_x = jnp.where(found, n_x, 0)
+            on_bx = x == 0
+            on_by = y == 0
+            i_sel = jnp.where(isY, jnp.where(on_bx, iB, iY), iM)
+            j_sel = jnp.where(isX, jnp.where(on_by, jB, jX), jM)
+            rw = jnp.where(isY, jnp.where(on_bx, rwB, rwY),
+                           jnp.where(isX, jnp.where(on_by, rwB2, rwX), 1))
+            o1s = take(O1b.reshape(-1), bidx * op + i_sel)
+            o2s = take(O2b.reshape(-1), bidx * op + j_sel)
+            ny = jnp.where(isX, y, jnp.maximum(y - o1s, 0))
+            nx = jnp.where(isY, x, jnp.maximum(x - o2s, 0))
+            rep1 = jnp.where(isX, 0,
+                             take(R1ff, (bidx * npad1
+                                         + jnp.clip(y, 0, npad1 - 1)) * op
+                                  + i_sel))
+            rep2 = jnp.where(isY, 0,
+                             take(R2ff, (bidx * npad2
+                                         + jnp.clip(x, 0, npad2 - 1)) * op
+                                  + j_sel))
+            n_fail = fail | (act & ((rep1 | rep2) > 0))
 
-            rs, rst = resolve_w(n_y, n_x)
-            use = (n_rw > 0) & ((n_y != 0) | (n_x != 0)) & found
-            n_st = jnp.where(use, rst, n_st)
-            n_sc = jnp.where(use, rs, n_sc)
+            code2 = code_at(ny, nx)
+            wst2 = (code2 >> 18) & 3
+            n_st = jnp.where(rw == 1, wst2,
+                             jnp.where(isY, ST_Y, ST_X)).astype(i32)
 
-            n_fail = fail | (act & ((n_rep > 0) | (~found)))
-            live = (n_x != 0) | (n_y != 0)
-            maps, pos = push_state(maps, pos, n_y, n_x, n_st,
-                                   act & live & ~n_fail)
-            # frozen lanes keep their final state
-            n_y = jnp.where(act, n_y, y)
-            n_x = jnp.where(act, n_x, x)
-            n_st = jnp.where(act, n_st, st)
-            n_sc = jnp.where(act, n_sc, sc)
-            return (n_y, n_x, n_st, n_sc, pos, n_fail, it + 1, maps)
+            live = (ny != 0) | (nx != 0)
+            maps_, pos = push_state(maps_, pos, ny, nx, n_st,
+                                    act & live & ~n_fail)
+            y = jnp.where(act, ny, y)
+            x = jnp.where(act, nx, x)
+            st = jnp.where(act, n_st, st)
+            code = jnp.where(act, code2, code)
+            return (y, x, st, code, pos, n_fail, it + 1, maps_)
 
-        y_f, x_f, st_f, sc_f, pos_f, fail_f, _, maps = jax.lax.while_loop(
-            bt_cond, bt_body,
-            (y0, x0, st0, sc0, pos1, rep0 > 0, i32(0), maps))
-
+        y_f, x_f, st_f, code_f, pos_f, fail_f, it_f, maps = \
+            jax.lax.while_loop(bt_cond, bt_body,
+                               (y0, x0, st0, code0, pos1, fail0, i32(0),
+                                maps))
+        # lanes still away from the origin at the iteration cap: chase
+        # failure (should not happen; bails to host rather than looping)
+        fail_f = fail_f | ((y_f != 0) | (x_f != 0))
         maps, posF = push(maps, pos_f, jnp.zeros(B, i32), jnp.zeros(B, i32),
                           ~fail_f)
         m1, m2 = maps
@@ -601,341 +855,289 @@ def _make_bt(e1p: int, e2p: int, Lmax: int):
         meta = meta.at[:, META_FAIL].set(fail_f.astype(jnp.float32))
         return m1, m2, meta
 
-    return jax.jit(bt)
+    return jax.jit(chase)
 
 
-
-def _true_edges_padded(graph, scores, n_pad: int, e_pad: int):
-    """True per-node edge lists in PredIterator order with repeat costs
-    materialized; NaN costs (inf*0 under repeatext_prob=0) and +inf become
-    +1e37, which is decision-equivalent in fill and backtrack."""
-    idx, cost, isrep, units = graph.padded()
-    n, e = idx.shape
-    rep_cost = (np.float32(scores.repeat_init)
-                + np.float32(scores.repeat_ext)
-                * (units - 1).astype(np.float32))
-    with np.errstate(invalid="ignore"):
-        cost = np.where(isrep, rep_cost, cost).astype(np.float32)
-    cost = np.where(np.isnan(cost) | np.isinf(cost), COST_INF,
-                    cost).astype(np.float32)
-    cost = np.where(isrep & (units == 0), COST_INF, cost).astype(np.float32)
-    ip = np.full((n_pad, e_pad), -1, dtype=np.int32)
-    cp = np.full((n_pad, e_pad), COST_INF, dtype=np.float32)
-    rp = np.zeros((n_pad, e_pad), dtype=np.int32)
-    ip[:n, :e] = idx
-    cp[:n, :e] = cost
-    rp[:n, :e] = isrep.astype(np.int32)
-    return ip, cp, rp
-
-
-def _pow2(x):
-    return 1 << max(0, (int(x) - 1)).bit_length()
-
-
-def pair_buckets(g1, g2, scores, max_offsets: int = 16):
-    """Kernel bucket requirements for a pair, or None if out of range."""
-    oc1 = _offset_costs(g1, scores, max_offsets)
-    oc2 = _offset_costs(g2, scores, max_offsets)
-    if oc1 is None or oc2 is None:
-        return None
-    o1, _ = oc1
-    o2, _ = oc2
-    n1p = _bucket(max(g1.size, 16), LANE)
-    n2p = _bucket(max(g2.size, 16), LANE)
-    # planes are streamed to HBM (not VMEM), so the length ceiling is the
-    # HBM plane budget, enforced per-batch in align_pairs_device; 4096 here
-    # only bounds a single pair (~1.3 GB of planes) far below HBM
-    if n1p > 4096 or n2p > 4096:
-        return None
-    reach = int(o1.max()) + int(o2.max())
-    ring = 64 if reach < 64 else (128 if reach < 128 else None)
-    if ring is None:
-        return None
-    e1p = _pow2(g1.padded()[0].shape[1])
-    e2p = _pow2(g2.padded()[0].shape[1])
-    if e1p > 16 or e2p > 16:
-        return None
-    return dict(n1p=n1p, n2p=n2p, o1p=_pow2(len(o1)), o2p=_pow2(len(o2)),
-                e1p=e1p, e2p=e2p, ring=ring)
-
-
-def merge_buckets(bs):
-    """Common (batch) bucket set covering every member."""
-    return dict((k, max(b[k] for b in bs)) for k in bs[0])
-
-
-def prepare_pair(g1, g2, scores, max_offsets: int = 16, buckets=None):
-    """Host-side preparation of one pair's kernel operands (no S upload —
-    the device computes it).  None when the pair exceeds kernel buckets.
-    ``buckets`` pads to a common (batch) bucket set."""
-    if buckets is None:
-        buckets = pair_buckets(g1, g2, scores, max_offsets)
-        if buckets is None:
-            return None
-    oc1 = _offset_costs(g1, scores, max_offsets)
-    oc2 = _offset_costs(g2, scores, max_offsets)
-    if oc1 is None or oc2 is None:
-        return None
-    o1, C1 = oc1
-    o2, C2 = oc2
-    n1, n2 = g1.size, g2.size
-    n1p, n2p = buckets["n1p"], buckets["n2p"]
-    o1p, o2p = buckets["o1p"], buckets["o2p"]
-    e1p, e2p = buckets["e1p"], buckets["e2p"]
-    ring = buckets["ring"]
-    if (len(o1) > o1p or len(o2) > o2p or n1 > n1p or n2 > n2p
-            or g1.padded()[0].shape[1] > e1p
-            or g2.padded()[0].shape[1] > e2p):
-        return None
-
-    with np.errstate(invalid="ignore"):
-        C1T = np.full((o1p, n1p), COST_INF, dtype=np.float32)
-        C1T[:C1.shape[1], :n1] = np.nan_to_num(
-            C1.T, nan=COST_INF, posinf=COST_INF)
-        C2p = np.full((n2p, o2p), COST_INF, dtype=np.float32)
-        C2p[:n2, :C2.shape[1]] = np.nan_to_num(
-            C2, nan=COST_INF, posinf=COST_INF)
-
-    E1 = _true_edges_padded(g1, scores, n1p, e1p)
-    E2 = _true_edges_padded(g2, scores, n2p, e2p)
-
-    o1pad = np.ones(o1p, np.int32)
-    o1pad[:len(o1)] = o1
-    o2pad = np.ones(o2p, np.int32)
-    o2pad[:len(o2)] = o2
-    scal = np.concatenate([o1pad, o2pad,
-                           np.array([n1, n2, len(o1), len(o2)], np.int32)])
-
-    par = np.zeros(16, dtype=np.float32)
-    par[0] = scores.gap_extend
-    par[1] = scores.gap_init
-    par[2] = scores.start_gap
-    par[3] = scores.start_init
-    par[4] = scores.end_match
-    par[5] = scores.end_gap
-    par[6] = scores.end_skip
-
-    return dict(n1=n1, n2=n2, n1p=n1p, n2p=n2p, o1p=o1p, o2p=o2p,
-                e1p=e1p, e2p=e2p, ring=ring, scal=scal, C1T=C1T, C2p=C2p,
-                par=par, E1=E1, E2=E2)
-
-
-@functools.lru_cache(maxsize=32)
-def _jit_prologue(n1p: int, n2p: int, dim: int):
-    """Jitted batched device prologue: exact-S from sites, sheared to
-    diag-major, plus C2 reshaped to diag-major (vmapped over pairs)."""
-    import jax
-    import jax.numpy as jnp
-    from .scores_device import make_exact_S
-
-    D = n1p + n2p - 3
-    DBv = ((D + 7) // 8) * 8 + 8
-    exact_S = make_exact_S(dim)
-
-    def prologue(g1s, g2s, M, pi, match_init, n1, n2, C2p):
-        S = exact_S(g1s, g2s, M, pi, match_init, n1, n2)   # [n1p, n2p]
-        ys = jnp.arange(n1p)
-        # Sdiag row k holds diagonal k+1: Sdiag[k, y] = S[y, k+1-y]
-        dgrid = jnp.arange(1, DBv + 1)[:, None]
-        xg = dgrid - ys[None, :]
-        ok = (xg >= 0) & (xg < n2p)
-        Sdiag = jnp.where(ok, S[jnp.broadcast_to(ys[None, :], (DBv, n1p)),
-                                jnp.clip(xg, 0, n2p - 1)], NEG)
-        Sdiag = jnp.where(jnp.isnan(Sdiag) | (Sdiag < NEG), NEG, Sdiag)
-        # C2diag row k holds diagonal k: C2diag[k, j, y] = C2p[k-y, j]
-        dg0 = jnp.arange(DBv)[:, None]
-        xg0 = dg0 - ys[None, :]
-        ok0 = (xg0 >= 0) & (xg0 < C2p.shape[0])
-        C2g = C2p[jnp.clip(xg0, 0, C2p.shape[0] - 1)]   # [DBv, n1p, o2p]
-        C2g = jnp.where(ok0[:, :, None], C2g, COST_INF)
-        C2diag = jnp.transpose(C2g, (0, 2, 1))          # [DBv, o2p, n1p]
-        return Sdiag.astype(jnp.float32), C2diag.astype(jnp.float32)
-
-    return jax.jit(jax.vmap(prologue))
-
-
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=4)
 def _jit_pack():
-    """Pack kernel outputs into one array so the batch costs ONE fetch
-    (~25 ms fixed cost per device->host transfer on this tunnel)."""
+    """Pack chase outputs into one int32 array: the batch costs ONE fetch
+    (~25 ms fixed roundtrip on this tunnel)."""
     import jax
     import jax.numpy as jnp
 
     def pack(m1, m2, meta):
-        m1 = m1.reshape(m1.shape[0], -1)
-        m2 = m2.reshape(m2.shape[0], -1)
-        meta = meta.reshape(meta.shape[0], -1)
         mi = jax.lax.bitcast_convert_type(meta, jnp.int32)
         return jnp.concatenate([m1, m2, mi], axis=1)
 
     return jax.jit(pack)
 
 
-def _host_sdiag(S_host, n1p, n2p, prep):
-    """Shear a host-computed S to the kernel's diag-major layout (used on
-    non-TPU backends, where XLA:CPU's LLVM-level FMA contraction breaks the
-    exact-rounding replay that scores_device relies on; the TPU never
-    contracts — probed)."""
-    D = n1p + n2p - 3
-    DBv = ((D + 7) // 8) * 8 + 8
-    n1, n2 = prep["n1"], prep["n2"]
-    Sp = np.full((n1p, n2p), NEG, np.float32)
-    Sp[:n1, :n2] = S_host
-    ys = np.arange(n1p)
-    dgrid = np.arange(1, DBv + 1)[:, None]
-    xg = dgrid - ys[None, :]
-    ok = (xg >= 0) & (xg < n2p)
-    Sdiag = np.where(ok, Sp[np.broadcast_to(ys[None, :], (DBv, n1p)),
-                            np.clip(xg, 0, n2p - 1)], NEG)
-    Sdiag = np.where(np.isnan(Sdiag) | (Sdiag < NEG), NEG,
-                     Sdiag).astype(np.float32)
-    dg0 = np.arange(DBv)[:, None]
-    xg0 = dg0 - ys[None, :]
-    C2p = prep["C2p"]
-    ok0 = (xg0 >= 0) & (xg0 < C2p.shape[0])
-    C2g = np.where(ok0[:, :, None], C2p[np.clip(xg0, 0, C2p.shape[0] - 1)],
-                   COST_INF)
-    return Sdiag, np.transpose(C2g, (0, 2, 1)).astype(np.float32)
+# ---------------------------------------------------------------------------
+# batch orchestration
+
+
+class _DummyInfo:
+    """Zero-cost group padding: a fake 2-node pair whose group runs ZERO
+    diagonal blocks (the per-group loop bound is dynamic), so padding the
+    group count to a power of two costs nothing.  Never harvested
+    (idx = -1)."""
+
+    class _NS:
+        pass
+
+    def __init__(self, like):
+        dim = like.g1.dim
+        self.idx = -1
+        self.n1 = self.n2 = 2
+        self.dfull = 2
+        self.o1 = self.o2 = np.array([1], np.int32)
+        self.C1 = self.C2 = np.array([[COST_INF], [0.0]], np.float32)
+        self.rep1 = self.rep2 = np.zeros((2, 1), bool)
+        self.scores = like.scores
+        self.tier = like.tier
+        g = self._NS()
+        g.sites = np.zeros((2, dim), np.float64)
+        g.dim = dim
+        self.g1 = self.g2 = g
+        m = self._NS()
+        m.M = np.zeros((dim, dim), np.float64)
+        m.pi = np.zeros(dim, np.float64)
+        self.model = m
+
+
+def _form_groups(infos):
+    """Sort a tier's pairs by descending diagonal count and cut into groups
+    of 8 whose diagonal spread fits the tail window; pad partial groups by
+    repeating their smallest member (free: extra sublanes of work already
+    paid) and the group count to a power of two with dummy zero-diagonal
+    groups."""
+    infos = sorted(infos, key=lambda p: -p.dfull)
+    groups = []
+    cur = []
+    spread_cap = GROUP_SPREAD
+    for info in infos:
+        if cur and (len(cur) == 8 or cur[0].dfull - info.dfull > spread_cap):
+            groups.append(cur)
+            cur = []
+        cur.append(info)
+    if cur:
+        groups.append(cur)
+    for grp in groups:
+        while len(grp) < 8:
+            grp.append(grp[-1])
+    dummy = _DummyInfo(groups[-1][-1])
+    # pad the group count to >= 16 and a power of two: dummy groups run
+    # zero diagonal blocks, and a fixed floor means the kernel shape (and
+    # its one-time Mosaic compile) is reused across tree levels
+    gcap = max(16, _pow2(len(groups)))
+    while len(groups) < gcap:
+        groups.append([dummy] * 8)
+    return groups
+
+
+def _launch_class(infos, tier, interpret, use_device_s, timers=None):
+    """Launch fill + chase for one tier class.  Returns (live_infos,
+    packed_device_array, Lm, n_ok_slots) — results fetched by the caller."""
+    import jax
+    import jax.numpy as jnp
+
+    op, R = TIERS[tier]
+    groups = _form_groups(infos)
+    G = len(groups)
+    B = G * 8
+    flat = [info for grp in groups for info in grp]
+
+    n1p = _lane_bucket(max(info.n1 for info in flat))
+    n2cap = _lane_bucket(max(info.n2 for info in flat))
+    DBv = _dbv_for(n1p, n2cap)
+
+    # ---- host-side arrays (per-pair vector blocks are lane-padded to 128:
+    # Mosaic's block-tiling rule rejects narrower VMEM blocks)
+    scal = np.zeros((G, 8), np.int32)
+    O1a = np.ones((B, 128), np.int32)
+    O2a = np.ones((B, 128), np.int32)
+    IVa = np.zeros((B, 128), np.int32)
+    PARa = np.zeros((B, 128), np.float32)
+    C1T = np.full((G, op, 8, n1p), COST_INF, np.float32)
+    C2c = np.full((G, DBv, 8, op), COST_INF, np.float32)
+    C1f = np.full((B, n1p, op), COST_INF, np.float32)
+    C2f = np.full((B, n2cap, op), COST_INF, np.float32)
+    R1f = np.zeros((B, n1p, op), np.int32)
+    R2f = np.zeros((B, n2cap, op), np.int32)
+    end_lob = np.zeros(B, np.int32)
+    n1b = np.zeros(B, np.int32)
+    n2b = np.zeros(B, np.int32)
+
+    for gi_, grp in enumerate(groups):
+        dmax = max(info.dfull for info in grp)
+        dmin = min(info.dfull for info in grp)
+        nblk = max(0, (dmax - 2 + 7) // 8)
+        end_lo = max(0, ((dmin - R) // 8) * 8)
+        assert 8 * nblk + 8 - end_lo <= _tcap(R), "tail window overflow"
+        scal[gi_, 0] = nblk
+        scal[gi_, 1] = end_lo
+        scal[gi_, 2] = max(len(info.o1) for info in grp)
+        scal[gi_, 3] = max(len(info.o2) for info in grp)
+        for s, info in enumerate(grp):
+            b = gi_ * 8 + s
+            m1_, m2_ = len(info.o1), len(info.o2)
+            O1a[b, :m1_] = info.o1
+            O2a[b, :m2_] = info.o2
+            IVa[b, 0], IVa[b, 1] = info.n1, info.n2
+            sc = info.scores
+            PARa[b, :7] = (sc.gap_extend, sc.gap_init, sc.start_gap,
+                           sc.start_init, sc.end_match, sc.end_gap,
+                           sc.end_skip)
+            C1T[gi_, :m1_, s, :info.n1] = info.C1.T
+            C2c[gi_, :info.n2, s, :m2_] = info.C2
+            C1f[b, :info.n1, :m1_] = info.C1
+            C2f[b, :info.n2, :m2_] = info.C2
+            R1f[b, :info.n1, :m1_] = info.rep1
+            R2f[b, :info.n2, :m2_] = info.rep2
+            end_lob[b] = end_lo
+            n1b[b] = info.n1
+            n2b[b] = info.n2
+
+    # ---- S prologue
+    if use_device_s:
+        dim = flat[0].g1.dim
+        g1s = np.zeros((B, n1p, dim), np.float32)
+        g2s = np.zeros((B, n2cap, dim), np.float32)
+        Mb = np.zeros((B, dim, dim), np.float32)
+        pib = np.zeros((B, dim), np.float32)
+        mib = np.zeros(B, np.float32)
+        for b, info in enumerate(flat):
+            g1s[b, :info.n1] = info.g1.sites.astype(np.float32)
+            g2s[b, :info.n2] = info.g2.sites.astype(np.float32)
+            Mb[b] = info.model.M.astype(np.float32)
+            pib[b] = info.model.pi.astype(np.float32)
+            mib[b] = np.float32(info.scores.match_init)
+        Sdiag = _make_prologue(dim)(g1s, g2s, Mb, pib, mib, n1b, n2b)
+    else:
+        Sdiag = jnp.asarray(_host_sdiag_group(groups, n1p, DBv))
+
+    kern = _make_kernel(G, n1p, DBv, op, R, interpret)
+    codes, tailM, tailX, tailY, strY, strX = kern(
+        jnp.asarray(scal), jnp.asarray(O1a.reshape(G, 8, 128)),
+        jnp.asarray(O2a.reshape(G, 8, 128)),
+        jnp.asarray(IVa.reshape(G, 8, 128)),
+        jnp.asarray(PARa.reshape(G, 8, 128)), jnp.asarray(C1T), Sdiag,
+        jnp.asarray(C2c))
+    if timers is not None:
+        codes.block_until_ready()
+        timers("fill")
+    m1, m2, meta = _make_chase()(
+        codes, tailM, tailX, tailY, strY, strX,
+        jnp.asarray(O1a[:, :op].copy()), jnp.asarray(O2a[:, :op].copy()),
+        jnp.asarray(C1f), jnp.asarray(C2f),
+        jnp.asarray(R1f), jnp.asarray(R2f),
+        jnp.asarray(PARa[:, :8].copy()),
+        jnp.asarray(n1b), jnp.asarray(n2b), jnp.asarray(end_lob))
+    if timers is not None:
+        meta.block_until_ready()
+        timers("chase")
+    packed = _jit_pack()(m1, m2, meta)
+    Lm = DBv + 8
+    return flat, packed, Lm
+
+
+def _hbm_budget_ok(infos, tier):
+    """Estimated device footprint of one class launch (codes + 3 tails +
+    Sdiag + C2c + prologue sites/transients), vs a 4 GB cap.  Counts the
+    full group-padded batch (ADVICE r3: the round-3 budget undercounted)."""
+    op, R = TIERS[tier]
+    G = _pow2((len(infos) + 7) // 8)
+    n1p = _lane_bucket(max(i.n1 for i in infos))
+    n2cap = _lane_bucket(max(i.n2 for i in infos))
+    DBv = _dbv_for(n1p, n2cap)
+    per_group = (DBv * 8 * n1p * 4             # codes
+                 + 3 * _tcap(R) * 8 * n1p * 4  # tails
+                 + 2 * DBv * 8 * n1p * 4       # Sdiag (+1x transient shear)
+                 + DBv * 8 * op * 4)           # C2c
+    dim = infos[0].g1.dim
+    per_group += 8 * (n1p + n2cap) * dim * 4 * 2   # prologue sites + S
+    return G * per_group <= 4e9
 
 
 def align_pairs_device(items, interpret=None, s_mode="auto"):
-    """Fused device alignment of a BATCH of pairs in one kernel launch and
-    ONE result fetch.  ``items``: list of (g1, g2, model, scores).  Returns
-    a list of (mapping1, mapping2, score, n_tr_indels) — None per pair on
-    bucket overflow / repeat-path bail (caller falls back to host)."""
+    """Fused device alignment of a BATCH of pairs: per-tier Pallas fill
+    launches + XLA code-chases and ONE packed result fetch.  ``items``:
+    list of (g1, g2, model, scores).  Returns a list of (mapping1,
+    mapping2, score, n_tr_indels) — None per pair on bucket overflow or
+    repeat-path bail (caller falls back to host)."""
     import jax
     import jax.numpy as jnp
+    import time as _time
 
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = not on_tpu
     use_device_s = (s_mode == "device") or (s_mode == "auto" and on_tpu)
 
-    results = [None] * len(items)
-    bks = []
-    for (g1, g2, model, scores) in items:
-        bks.append(pair_buckets(g1, g2, scores))
-    live = [i for i, b in enumerate(bks) if b is not None]
-    if not live:
-        return results
-    buckets = merge_buckets([bks[i] for i in live])
-    preps = {}
-    for i in live:
-        g1, g2, model, scores = items[i]
-        preps[i] = prepare_pair(g1, g2, scores, buckets=buckets)
-    live = [i for i in live if preps[i] is not None]
-    if not live:
-        return results
-
-    n1p, n2p = buckets["n1p"], buckets["n2p"]
-    # bound the HBM plane footprint (5 f32 planes of [B, DBv, n1p]): chunk
-    # the batch when long sequences would otherwise exhaust device memory
-    DBv = ((n1p + n2p - 3 + 7) // 8) * 8 + 8
-    plane_bytes_per_pair = 5 * 4 * DBv * n1p
-    max_b = max(1, int(4e9 // plane_bytes_per_pair))
-    if len(live) > max_b:
-        out = list(results)
-        for s0 in range(0, len(live), max_b):
-            part = [items[i] for i in live[s0:s0 + max_b]]
-            sub = align_pairs_device(part, interpret, s_mode)
-            for k, i in enumerate(live[s0:s0 + max_b]):
-                out[i] = sub[k]
-        return out
-
-    B = _pow2(len(live))
-    idxs = live + [live[0]] * (B - len(live))    # pad with a duplicate
-    dim = items[live[0]][0].dim
-
-    if use_device_s:
-        g1sb = np.zeros((B, n1p, dim), np.float32)
-        g2sb = np.zeros((B, n2p, dim), np.float32)
-        Mb = np.zeros((B, dim, dim), np.float32)
-        pib = np.zeros((B, dim), np.float32)
-        mib = np.zeros(B, np.float32)
-        n1b = np.zeros(B, np.int32)
-        n2b = np.zeros(B, np.int32)
-        C2pb = np.zeros((B, n2p, buckets["o2p"]), np.float32)
-        for k, i in enumerate(idxs):
-            g1, g2, model, scores = items[i]
-            p = preps[i]
-            g1sb[k, :p["n1"]] = g1.sites.astype(np.float32)
-            g2sb[k, :p["n2"]] = g2.sites.astype(np.float32)
-            Mb[k] = model.M.astype(np.float32)
-            pib[k] = model.pi.astype(np.float32)
-            mib[k] = np.float32(scores.match_init)
-            n1b[k], n2b[k] = p["n1"], p["n2"]
-            C2pb[k] = p["C2p"]
-        prologue = _jit_prologue(n1p, n2p, dim)
-        Sdiag, C2diag = prologue(g1sb, g2sb, Mb, pib, mib, n1b, n2b, C2pb)
-    else:
-        from .scores import precompute_scores
-        Sd_list, C2_list = [], []
-        for i in idxs:
-            g1, g2, model, scores = items[i]
-            S_host = precompute_scores(g1, g2, model, scores)
-            sd, c2 = _host_sdiag(S_host, n1p, n2p, preps[i])
-            Sd_list.append(sd)
-            C2_list.append(c2)
-        Sdiag = jnp.asarray(np.stack(Sd_list))
-        C2diag = jnp.asarray(np.stack(C2_list))
-
-    def stack(key, sub=None):
-        if sub is None:
-            return jnp.asarray(np.stack([preps[i][key] for i in idxs]))
-        return jnp.asarray(np.stack([preps[i][key][sub] for i in idxs]))
-
-    import time as _time
     dbg = os.environ.get("PROGRAPHMSA_PALLAS_DEBUG", "0") == "1"
-    t_mark = _time.perf_counter()
+    t_mark = [_time.perf_counter()]
 
     def _mark(label):
-        nonlocal t_mark
         if dbg:
             now = _time.perf_counter()
-            print("pallas-batch %-10s %.3f s" % (label, now - t_mark),
+            print("pallas-batch %-10s %.3f s" % (label, now - t_mark[0]),
                   flush=True)
-            t_mark = now
+            t_mark[0] = now
 
-    _mark("prologue")
-    kern = _make_kernel(B, n1p, n2p, buckets["o1p"], buckets["o2p"],
-                        buckets["e1p"], buckets["e2p"], buckets["ring"],
-                        interpret)
-    scal_d = stack("scal")
-    par_d = stack("par")
-    C1T_d = stack("C1T")
-    E_d = (stack("E1", 0), stack("E1", 1), stack("E1", 2),
-           stack("E2", 0), stack("E2", 1), stack("E2", 2))
-    _mark("upload")
-    PM, PX, PY, PW, PS = kern(scal_d, Sdiag, C1T_d, C2diag, par_d)
-    if dbg:
-        PW.block_until_ready()
-    _mark("fill")
-    Lmax = n1p + n2p
-    bt = _make_bt(buckets["e1p"], buckets["e2p"], Lmax)
-    n1b = np.array([preps[i]["n1"] for i in idxs], np.int32)
-    n2b = np.array([preps[i]["n2"] for i in idxs], np.int32)
-    m1, m2, meta = bt(scal_d, *E_d, par_d, PM, PX, PY, PW, PS,
-                      jnp.asarray(n1b), jnp.asarray(n2b))
-    if dbg:
-        meta.block_until_ready()
-    _mark("backtrack")
-    packed = np.asarray(_jit_pack()(m1, m2, meta))      # ONE fetch
-    m1h = packed[:, :Lmax]
-    m2h = packed[:, Lmax:2 * Lmax]
-    metah = packed[:, 2 * Lmax:].view(np.float32)
-
-    for k, i in enumerate(idxs[:len(live)]):
-        if metah[k, META_FAIL] != 0.0:
+    results = [None] * len(items)
+    _fallback_stats["pairs_total"] += len(items)
+    tiers = {}
+    for idx, (g1, g2, model, scores) in enumerate(items):
+        info = _prep_pair(idx, g1, g2, model, scores)
+        if isinstance(info, str):
+            _fallback_stats[info] += 1
             continue
-        ln = int(metah[k, META_LEN])
-        results[i] = (m1h[k][:ln][::-1].tolist(),
-                      m2h[k][:ln][::-1].tolist(),
-                      np.float32(metah[k, META_SCORE]), 0)
+        tiers.setdefault(info.tier, []).append(info)
+    _mark("prep")
+
+    launches = []
+    for tier, infos in sorted(tiers.items()):
+        # chunk a class when its HBM footprint would exceed the budget
+        chunk = list(infos)
+        while chunk and not _hbm_budget_ok(chunk, tier):
+            half = max(1, len(chunk) // 2)
+            launches_add, chunk = chunk[:half], chunk[half:]
+            if not _hbm_budget_ok(launches_add, tier):
+                # even one pair too big (enormous sequences): host fallback
+                for info in launches_add:
+                    _fallback_stats["fb_size"] += 1
+                continue
+            launches.append((tier, launches_add))
+        if chunk:
+            launches.append((tier, chunk))
+
+    outs = []
+    timers = (lambda lbl: _mark(lbl)) if dbg else None
+    for tier, infos in launches:
+        flat, packed, Lm = _launch_class(infos, tier, interpret,
+                                         use_device_s, timers)
+        outs.append((flat, np.asarray(packed), Lm))   # fetch
+    _mark("fetch")
+
+    for flat, packed, Lm in outs:
+        seen = set()
+        metah = packed[:, 2 * Lm:].view(np.float32)
+        for k, info in enumerate(flat):
+            if info.idx < 0 or info.idx in seen:
+                continue
+            seen.add(info.idx)
+            if metah[k, META_FAIL] != 0.0:
+                _fallback_stats["fb_rep"] += 1
+                continue
+            ln = int(metah[k, META_LEN])
+            results[info.idx] = (packed[k, :Lm][:ln][::-1].tolist(),
+                                 packed[k, Lm:2 * Lm][:ln][::-1].tolist(),
+                                 np.float32(metah[k, META_SCORE]), 0)
+            _fallback_stats["pairs_device"] += 1
     return results
 
 
 def align_pair_device(g1, g2, model, scores, interpret=None, s_mode="auto"):
-    """Fused device alignment of one pair (batch of 1).  Returns
-    (mapping1, mapping2, score, n_tr_indels) or None."""
+    """Fused device alignment of one pair (batch of 1)."""
     return align_pairs_device([(g1, g2, model, scores)], interpret,
                               s_mode)[0]

@@ -112,9 +112,15 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
         level_cells = sum(it[0].size * it[1].size for it in items)
         batch = [None] * len(items)
         if use_pallas_dp(options, level_cells):
-            from ..align.graph_dp_pallas import align_pairs_device
+            from ..align.graph_dp_pallas import (align_pairs_device,
+                                                fallback_stats)
             with timings.phase("dp_device"):
+                before = fallback_stats()
                 batch = align_pairs_device(items)
+                after = fallback_stats()
+            for k, v in after.items():
+                if v > before.get(k, 0):   # surface silent fallbacks
+                    timings.count("pallas_" + k, v - before.get(k, 0))
 
         # per-pair align (host fallback) + merge, both pure functions of the
         # node's own inputs — sharded across cores for the whole level

@@ -26,6 +26,7 @@ def enable(flag: bool = True) -> None:
     _enabled = flag
     _acc.clear()
     _calls.clear()
+    _counters.clear()
 
 
 @contextmanager
@@ -42,8 +43,25 @@ def phase(name: str):
             _calls[name] = _calls.get(name, 0) + 1
 
 
+_counters: dict = {}
+
+
+def count(name: str, n: int = 1) -> None:
+    """Accumulate an event counter (reported with --timings); used by the
+    device tiers to surface silent-fallback statistics (pairs that left
+    the Pallas path and why)."""
+    if not _enabled:
+        return
+    with _lock:
+        _counters[name] = _counters.get(name, 0) + n
+
+
+def counters() -> dict:
+    return dict(_counters)
+
+
 def report(stream) -> None:
-    if not _acc:
+    if not _acc and not _counters:
         return
     total = sum(_acc.values())
     print("timings (wall seconds, accounted phases only):", file=stream)
@@ -52,3 +70,7 @@ def report(stream) -> None:
               % (name, t, 100.0 * t / total if total else 0.0, _calls[name]),
               file=stream)
     print("  %-12s %8.4f s" % ("total", total), file=stream)
+    if _counters:
+        print("counters:", file=stream)
+        for name, n in sorted(_counters.items()):
+            print("  %-24s %d" % (name, n), file=stream)
