@@ -408,11 +408,13 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
             stripeX_ref[0] = jnp.where(ys == d, Xrow[:, 0:1],
                                        stripeX_ref[0])
 
-            @pl.when(d >= end_lo)
-            def _():
-                tailM_st[pl.ds(trow, 1)] = Mrow[None]
-                tailX_st[pl.ds(trow, 1)] = Xrow[None]
-                tailY_st[pl.ds(trow, 1)] = Yrow[None]
+            # tail staging is unconditional (cheap, and keeps the DMA
+            # schedule branch-free); the flush clamps its destination, so
+            # pre-region blocks overwrite tail rows [0, 8) and the
+            # in-region blocks land last (ascending flush order)
+            tailM_st[pl.ds(trow, 1)] = Mrow[None]
+            tailX_st[pl.ds(trow, 1)] = Xrow[None]
+            tailY_st[pl.ds(trow, 1)] = Yrow[None]
 
         # ---- init: diagonal 0 (cell (0,0)) ----
         w0row = jnp.where(ys == 0, si, NEG)
@@ -434,17 +436,18 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
                     codes_st.at[:], codes_out.at[g, pl.ds(base8, 8)], semout)
                 cp.start()
                 cp.wait()
-
-                @pl.when(base8 >= end_lo)
-                def _():
-                    tb = base8 - end_lo
-                    for st_ref, out in ((tailM_st, tailM_out),
-                                        (tailX_st, tailX_out),
-                                        (tailY_st, tailY_out)):
-                        cp2 = pltpu.make_async_copy(
-                            st_ref.at[:], out.at[g, pl.ds(tb, 8)], semout)
-                        cp2.start()
-                        cp2.wait()
+                # unconditional with clamped destination: blocks below the
+                # end region all target rows [0, 8) and are overwritten by
+                # the base8 == end_lo block (ascending base8 order)
+                tb = jnp.maximum(base8 - end_lo, 0)
+                tb = jnp.minimum(tb, TCAP - 8)
+                for st_ref, out in ((tailM_st, tailM_out),
+                                    (tailX_st, tailX_out),
+                                    (tailY_st, tailY_out)):
+                    cp2 = pltpu.make_async_copy(
+                        st_ref.at[:], out.at[g, pl.ds(tb, 8)], semout)
+                    cp2.start()
+                    cp2.wait()
 
             def blk_body(blk, c):
                 base = blk * 8
@@ -935,14 +938,23 @@ def _form_groups(infos):
     return groups
 
 
-def _launch_class(infos, tier, interpret, use_device_s, timers=None):
+def _launch_class(infos, tier, interpret, use_device_s, timers=None,
+                  mesh=None):
     """Launch fill + chase for one tier class.  Returns (live_infos,
-    packed_device_array, Lm, n_ok_slots) — results fetched by the caller."""
+    packed_device_array, Lm).  With ``mesh``, the whole fill+chase+pack
+    pipeline runs under ONE shard_map over the groups axis — a guide-tree
+    level's pairs spread across every device of the mesh (SURVEY §2.5 DP
+    row; the per-device kernel is the same Pallas program with a local
+    group count)."""
     import jax
     import jax.numpy as jnp
 
     op, R = TIERS[tier]
     groups = _form_groups(infos)
+    ndev = mesh.size if mesh is not None else 1
+    dummy = _DummyInfo(groups[-1][-1]) if len(groups) % ndev else None
+    while len(groups) % ndev:
+        groups.append([dummy] * 8)
     G = len(groups)
     B = G * 8
     flat = [info for grp in groups for info in grp]
@@ -1016,27 +1028,51 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None):
     else:
         Sdiag = jnp.asarray(_host_sdiag_group(groups, n1p, DBv))
 
-    kern = _make_kernel(G, n1p, DBv, op, R, interpret)
-    codes, tailM, tailX, tailY, strY, strX = kern(
-        jnp.asarray(scal), jnp.asarray(O1a.reshape(G, 8, 128)),
-        jnp.asarray(O2a.reshape(G, 8, 128)),
-        jnp.asarray(IVa.reshape(G, 8, 128)),
-        jnp.asarray(PARa.reshape(G, 8, 128)), jnp.asarray(C1T), Sdiag,
-        jnp.asarray(C2c))
-    if timers is not None:
-        codes.block_until_ready()
-        timers("fill")
-    m1, m2, meta = _make_chase()(
-        codes, tailM, tailX, tailY, strY, strX,
-        jnp.asarray(O1a[:, :op].copy()), jnp.asarray(O2a[:, :op].copy()),
-        jnp.asarray(C1f), jnp.asarray(C2f),
-        jnp.asarray(R1f), jnp.asarray(R2f),
-        jnp.asarray(PARa[:, :8].copy()),
-        jnp.asarray(n1b), jnp.asarray(n2b), jnp.asarray(end_lob))
-    if timers is not None:
-        meta.block_until_ready()
-        timers("chase")
-    packed = _jit_pack()(m1, m2, meta)
+    kern = _make_kernel(G // ndev, n1p, DBv, op, R, interpret)
+    chase = _make_chase()
+    pack = _jit_pack()
+
+    kern_args = (jnp.asarray(scal), jnp.asarray(O1a.reshape(G, 8, 128)),
+                 jnp.asarray(O2a.reshape(G, 8, 128)),
+                 jnp.asarray(IVa.reshape(G, 8, 128)),
+                 jnp.asarray(PARa.reshape(G, 8, 128)), jnp.asarray(C1T),
+                 Sdiag, jnp.asarray(C2c))
+    chase_args = (jnp.asarray(O1a[:, :op].copy()),
+                  jnp.asarray(O2a[:, :op].copy()),
+                  jnp.asarray(C1f), jnp.asarray(C2f),
+                  jnp.asarray(R1f), jnp.asarray(R2f),
+                  jnp.asarray(PARa[:, :8].copy()),
+                  jnp.asarray(n1b), jnp.asarray(n2b),
+                  jnp.asarray(end_lob))
+
+    if mesh is None:
+        outs = kern(*kern_args)
+        if timers is not None:
+            outs[0].block_until_ready()
+            timers("fill")
+        m1, m2, meta = chase(*outs, *chase_args)
+        if timers is not None:
+            meta.block_until_ready()
+            timers("chase")
+        packed = pack(m1, m2, meta)
+    else:
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel.sharded import _shard_map
+
+        def run(kargs, cargs):
+            outs = kern(*kargs)
+            m1, m2, meta = chase(*outs, *cargs)
+            return pack(m1, m2, meta)
+
+        f = _shard_map(run, mesh,
+                       (tuple(PS("pairs") for _ in kern_args),
+                        tuple(PS("pairs") for _ in chase_args)),
+                       PS("pairs"))
+        packed = f(kern_args, chase_args)
+        if timers is not None:
+            packed.block_until_ready()
+            timers("fill+chase")
     Lm = DBv + 8
     return flat, packed, Lm
 
@@ -1059,12 +1095,13 @@ def _hbm_budget_ok(infos, tier):
     return G * per_group <= 4e9
 
 
-def align_pairs_device(items, interpret=None, s_mode="auto"):
+def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None):
     """Fused device alignment of a BATCH of pairs: per-tier Pallas fill
     launches + XLA code-chases and ONE packed result fetch.  ``items``:
     list of (g1, g2, model, scores).  Returns a list of (mapping1,
     mapping2, score, n_tr_indels) — None per pair on bucket overflow or
-    repeat-path bail (caller falls back to host)."""
+    repeat-path bail (caller falls back to host).  ``mesh``: a 1-D
+    ``pairs`` mesh — the level batch shards over its devices."""
     import jax
     import jax.numpy as jnp
     import time as _time
@@ -1115,7 +1152,7 @@ def align_pairs_device(items, interpret=None, s_mode="auto"):
     timers = (lambda lbl: _mark(lbl)) if dbg else None
     for tier, infos in launches:
         flat, packed, Lm = _launch_class(infos, tier, interpret,
-                                         use_device_s, timers)
+                                         use_device_s, timers, mesh=mesh)
         outs.append((flat, np.asarray(packed), Lm))   # fetch
     _mark("fetch")
 

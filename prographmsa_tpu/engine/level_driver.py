@@ -114,9 +114,10 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
         if use_pallas_dp(options, level_cells):
             from ..align.graph_dp_pallas import (align_pairs_device,
                                                 fallback_stats)
+            from ..engine_policy import level_mesh
             with timings.phase("dp_device"):
                 before = fallback_stats()
-                batch = align_pairs_device(items)
+                batch = align_pairs_device(items, mesh=level_mesh())
                 after = fallback_stats()
             for k, v in after.items():
                 if v > before.get(k, 0):   # surface silent fallbacks

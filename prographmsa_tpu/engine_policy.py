@@ -68,6 +68,21 @@ def use_device_prealigned(options) -> bool:
     return on_tpu()
 
 
+@functools.lru_cache(maxsize=1)
+def level_mesh():
+    """Mesh for sharding a tree level's pair batch across every visible
+    device (align/graph_dp_pallas.py mesh path); None on a single device
+    (shard_map overhead buys nothing there)."""
+    try:
+        import jax
+        if len(jax.devices()) < 2:
+            return None
+        from .parallel.mesh import make_mesh
+        return make_mesh(len(jax.devices()))
+    except Exception:  # noqa: BLE001 — no usable backend: single-device
+        return None
+
+
 def use_pallas_dp(options, level_cells: int = 0) -> bool:
     """Graph-pair DP on the fused Pallas kernel?  In auto mode only on TPU
     and only when a level batch is big enough that one ~25 ms fetch beats
