@@ -574,11 +574,28 @@ def _make_prologue(dim: int):
                                  jnp.clip(xg, 0, n2cap - 1)], NEG)
             return jnp.where(jnp.isnan(Sd) | (Sd < NEG), NEG, Sd)
 
-        Sdiag = jax.vmap(one)(g1s, g2s, M, pi, match_init, n1, n2)
-        return jnp.transpose(Sdiag.reshape(B // 8, 8, DBv, n1p),
-                             (0, 2, 1, 3)).astype(jnp.float32)
+        # lax.map over chunks: a flat vmap over the whole batch holds O(B)
+        # full-S temporaries at once — 2000-residue batches OOM HBM.  For
+        # very long sequences even one group of 8 is too much; sweep pair
+        # by pair (the per-step work is huge, so map overhead is noise).
+        chunk = _prologue_chunk(n1p, n2cap)
+        nch = B // chunk
+        def grp(args):
+            return jax.vmap(one)(*args)
+
+        Sdiag = jax.lax.map(grp, tuple(
+            a.reshape((nch, chunk) + a.shape[1:])
+            for a in (g1s, g2s, M, pi, match_init, n1, n2)))
+        Sdiag = Sdiag.reshape(B // 8, 8, DBv, n1p)
+        return jnp.transpose(Sdiag, (0, 2, 1, 3)).astype(jnp.float32)
 
     return jax.jit(prologue, static_argnames=())
+
+
+def _prologue_chunk(n1p: int, n2cap: int) -> int:
+    """Pairs per exact-S sweep: 8 for short sequences, 1 when a single S
+    matrix is large (the replay holds ~6 S-sized temporaries per pair)."""
+    return 8 if n1p * n2cap <= 1024 * 1024 else 1
 
 
 def _dbv_for(n1p: int, n2cap: int) -> int:
@@ -929,10 +946,13 @@ def _form_groups(infos):
         while len(grp) < 8:
             grp.append(grp[-1])
     dummy = _DummyInfo(groups[-1][-1])
-    # pad the group count to >= 16 and a power of two: dummy groups run
-    # zero diagonal blocks, and a fixed floor means the kernel shape (and
-    # its one-time Mosaic compile) is reused across tree levels
-    gcap = max(16, _pow2(len(groups)))
+    # pad the group count to a power of two (dummy groups run zero
+    # diagonal blocks); for short-sequence classes also floor at 16 so the
+    # kernel shape (and its one-time Mosaic compile) is reused across tree
+    # levels — long-sequence classes skip the floor (their S prologue and
+    # plane memory scale with the padded batch)
+    big = max(i.n1 for grp in groups for i in grp) > 512
+    gcap = _pow2(len(groups)) if big else max(16, _pow2(len(groups)))
     while len(groups) < gcap:
         groups.append([dummy] * 8)
     return groups
@@ -1088,20 +1108,30 @@ def _hbm_budget_ok(infos, tier):
     DBv = _dbv_for(n1p, n2cap)
     per_group = (DBv * 8 * n1p * 4             # codes
                  + 3 * _tcap(R) * 8 * n1p * 4  # tails
-                 + 2 * DBv * 8 * n1p * 4       # Sdiag (+1x transient shear)
+                 + DBv * 8 * n1p * 4           # Sdiag
                  + DBv * 8 * op * 4)           # C2c
     dim = infos[0].g1.dim
-    per_group += 8 * (n1p + n2cap) * dim * 4 * 2   # prologue sites + S
-    return G * per_group <= 4e9
+    per_group += 8 * (n1p + n2cap) * dim * 4 * 2   # prologue sites
+    # the exact-S replay holds ~2 chunk-sweeps of full-S temporaries at a
+    # time (~6 live S-sized buffers per pair, double-buffered — measured
+    # from the XLA HBM dump at B=128/L=2048); those are freed before the
+    # fill kernel runs, so the budget is the max of the two phases plus
+    # the persistent arrays
+    prologue_tmp = 2 * 6 * _prologue_chunk(n1p, n2cap) * n1p * n2cap * 4
+    persistent = G * per_group
+    return persistent + prologue_tmp <= 6e9
 
 
-def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None):
+def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None,
+                       profile=None):
     """Fused device alignment of a BATCH of pairs: per-tier Pallas fill
     launches + XLA code-chases and ONE packed result fetch.  ``items``:
     list of (g1, g2, model, scores).  Returns a list of (mapping1,
     mapping2, score, n_tr_indels) — None per pair on bucket overflow or
     repeat-path bail (caller falls back to host).  ``mesh``: a 1-D
-    ``pairs`` mesh — the level batch shards over its devices."""
+    ``pairs`` mesh — the level batch shards over its devices.
+    ``profile``: a dict to fill with per-phase wall times (adds device
+    syncs between stages — measurement only, leave None in production)."""
     import jax
     import jax.numpy as jnp
     import time as _time
@@ -1115,11 +1145,13 @@ def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None):
     t_mark = [_time.perf_counter()]
 
     def _mark(label):
+        now = _time.perf_counter()
+        if profile is not None:
+            profile[label] = profile.get(label, 0.0) + (now - t_mark[0])
         if dbg:
-            now = _time.perf_counter()
             print("pallas-batch %-10s %.3f s" % (label, now - t_mark[0]),
                   flush=True)
-            t_mark[0] = now
+        t_mark[0] = now
 
     results = [None] * len(items)
     _fallback_stats["pairs_total"] += len(items)
@@ -1149,7 +1181,7 @@ def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None):
             launches.append((tier, chunk))
 
     outs = []
-    timers = (lambda lbl: _mark(lbl)) if dbg else None
+    timers = _mark if (dbg or profile is not None) else None
     for tier, infos in launches:
         flat, packed, Lm = _launch_class(infos, tier, interpret,
                                          use_device_s, timers, mesh=mesh)

@@ -25,6 +25,7 @@ BASELINE.md):
 from __future__ import annotations
 
 import functools
+import os
 
 
 @functools.lru_cache(maxsize=1)
@@ -83,13 +84,81 @@ def level_mesh():
         return None
 
 
+NATIVE_CELLS_PER_SEC = 120e6     # measured host C++ graph-DP fill rate
+
+
+@functools.lru_cache(maxsize=1)
+def calibration() -> dict:
+    """One-shot probed host<->device constants, persisted next to the JAX
+    compilation cache so later processes skip the probe (VERDICT r3 #8:
+    policy thresholds must derive from measurement, not constants tuned to
+    one tunnel).  ``roundtrip_s`` is the dispatch+sync latency of a tiny
+    jitted op — ~25 ms on the axon tunnel, ~0.2 ms on a directly attached
+    TPU host — which is the dominant fixed cost of a device launch."""
+    import json
+    import pathlib
+    import time
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    path = (pathlib.Path(cache_dir) / "pallas_calib.json"
+            if cache_dir else None)
+    if path is not None and path.exists():
+        try:
+            return json.loads(path.read_text())
+        except Exception:  # noqa: BLE001 — stale/corrupt: reprobe
+            pass
+    calib = {"roundtrip_s": 0.025, "fetch_mbps": 15.0}   # tunnel defaults
+    try:
+        import numpy as _np
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda a: a + 1)
+        x = jnp.zeros((8, 128), jnp.float32)
+        f(x).block_until_ready()        # compile outside the timing
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f(x).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        calib["roundtrip_s"] = max(1e-4, min(times))
+        # device->host bandwidth (1 MB of random data — constant arrays
+        # compress on the tunnel and overstate it)
+        y = jnp.asarray(_np.random.default_rng(0)
+                        .random(262144, dtype=_np.float32))
+        (y + 1).block_until_ready()
+        t0 = time.perf_counter()
+        _np.asarray(y + 1)
+        dt = max(1e-5, time.perf_counter() - t0)
+        calib["fetch_mbps"] = round(1.0 / dt, 1)
+        calib["backend"] = jax.default_backend()
+    except Exception:  # noqa: BLE001 — no backend: host tiers anyway
+        pass
+    if path is not None:
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(json.dumps(calib))
+        except OSError:
+            pass
+    return calib
+
+
+def pallas_cells_threshold() -> float:
+    """Minimum level-batch cell count where the device graph-DP launch can
+    beat the native host fill: the batch pays ~6 roundtrips plus a ~1 MB
+    packed-mapping fetch of fixed cost, so the native time must exceed
+    twice that before the device is worth it."""
+    c = calibration()
+    fixed = 6.0 * c["roundtrip_s"] + 1.0 / max(1.0, c["fetch_mbps"])
+    return max(250_000.0, NATIVE_CELLS_PER_SEC * fixed * 2.0)
+
+
 def use_pallas_dp(options, level_cells: int = 0) -> bool:
     """Graph-pair DP on the fused Pallas kernel?  In auto mode only on TPU
-    and only when a level batch is big enough that one ~25 ms fetch beats
-    the native fill of the whole level (~125 M cells/s host)."""
+    and only when the level batch is big enough that the probed fixed
+    launch cost is amortized (see ``pallas_cells_threshold``)."""
     eng = getattr(options, "engine", "auto")
     if eng == "pallas":
         return True
     if eng in ("native", "numpy", "device"):
         return False
-    return on_tpu() and level_cells >= 4_000_000
+    return on_tpu() and level_cells >= pallas_cells_threshold()
