@@ -566,12 +566,15 @@ def _make_prologue(dim: int):
 
         def one(g1s_, g2s_, M_, pi_, mi_, n1_, n2_):
             S = exact_S(g1s_, g2s_, M_, pi_, mi_, n1_, n2_)   # [n1p, n2cap]
-            ys = jnp.arange(n1p)
-            dgrid = jnp.arange(1, DBv + 1)[:, None]
-            xg = dgrid - ys[None, :]
-            ok = (xg >= 0) & (xg < n2cap)
-            Sd = jnp.where(ok, S[jnp.broadcast_to(ys[None, :], (DBv, n1p)),
-                                 jnp.clip(xg, 0, n2cap - 1)], NEG)
+            # gather-free shear (TPU gathers serialize — measured 4x the
+            # whole fill at L=3500): pad each row then reinterpret with
+            # width W2-1, which lands S[y, x] at [y, x + y]; transposing
+            # gives the diagonal-major plane (same trick as the NW kernel)
+            P = DBv + 2 - n2cap
+            A = jnp.pad(S, ((0, 0), (0, P)), constant_values=NEG)
+            W2 = n2cap + P - 1
+            T = A.reshape(-1)[:n1p * W2].reshape(n1p, W2)
+            Sd = T[:, 1:DBv + 1].T                            # [DBv, n1p]
             return jnp.where(jnp.isnan(Sd) | (Sd < NEG), NEG, Sd)
 
         # lax.map over chunks: a flat vmap over the whole batch holds O(B)
@@ -593,9 +596,11 @@ def _make_prologue(dim: int):
 
 
 def _prologue_chunk(n1p: int, n2cap: int) -> int:
-    """Pairs per exact-S sweep: 8 for short sequences, 1 when a single S
-    matrix is large (the replay holds ~6 S-sized temporaries per pair)."""
-    return 8 if n1p * n2cap <= 1024 * 1024 else 1
+    """Pairs per exact-S sweep (the replay holds ~6 S-sized temporaries
+    per pair, double-buffered): 8 up to 2048x2048 (~1.6 GB of sweep
+    temps), 4 beyond (a 1-pair sweep serializes the shear and was
+    measured 4x slower at L=2000)."""
+    return 8 if n1p * n2cap <= 2048 * 2048 else 4
 
 
 def _dbv_for(n1p: int, n2cap: int) -> int:
@@ -1045,6 +1050,9 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
             pib[b] = info.model.pi.astype(np.float32)
             mib[b] = np.float32(info.scores.match_init)
         Sdiag = _make_prologue(dim)(g1s, g2s, Mb, pib, mib, n1b, n2b)
+        if timers is not None:
+            Sdiag.block_until_ready()
+            timers("prologue")
     else:
         Sdiag = jnp.asarray(_host_sdiag_group(groups, n1p, DBv))
 

@@ -1,9 +1,14 @@
 #!/usr/bin/env python
-"""Weak-scaling of the sharded all-pairs NW kernel on a virtual CPU mesh.
+"""Weak-scaling of the sharded kernels on a virtual CPU mesh.
 
-Runs B = PAIRS_PER_DEV * n pairs over n in {1, 2, 4, 8} fake CPU devices
-(one process, XLA host-platform device count) and reports wall time and
-weak-scaling efficiency t(1)/t(n).
+Two stages, each B = const * n pairs over n in {1, 2, 4, 8} fake CPU
+devices (one process, XLA host-platform device count), reporting wall time
+and weak-scaling efficiency t(1)/t(n):
+
+* nw       — the all-pairs NW distance kernel (sharded_nw_counts)
+* graphdp  — the production graph-pair DP level batch
+             (align_pairs_device with a mesh; interpret-mode kernel on
+             CPU, identical partitioning to the TPU program)
 
 Caveat (stated in BASELINE.md): virtual CPU devices share the same physical
 cores, so this measures the *partitioning + collective overhead* of the
@@ -65,28 +70,83 @@ def run_one(n: int) -> float:
     return sorted(walls)[1]
 
 
+GRAPHDP_GROUPS_PER_DEV = 2       # 16 pairs per device per level batch
+
+
+def run_graphdp(n: int) -> float:
+    """Weak-scaling of the mesh-sharded Pallas level batch (the production
+    graph-DP path of engine/level_driver.py)."""
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import jax
+
+    if len(jax.devices()) < n:
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < n:
+            from jax._src import xla_bridge
+            xla_bridge._clear_backends()
+            jax.clear_caches()
+            jax.config.update("jax_num_cpu_devices", n)
+
+    from prographmsa_tpu.parallel.mesh import make_mesh
+    from prographmsa_tpu.config import Options
+    from prographmsa_tpu.alphabet import AA_SPEC
+    from prographmsa_tpu.graph.graph import sequence_graph
+    from prographmsa_tpu.models.factory import WagModelFactory
+    from prographmsa_tpu.align.scores import DynProgScores
+    from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+
+    mesh = make_mesh(n)
+    opts = Options()
+    model = WagModelFactory().get_model(0.4, opts)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    rng = np.random.default_rng(0)
+    items = []
+    for _ in range(8 * GRAPHDP_GROUPS_PER_DEV * n):
+        s1 = "".join(rng.choice(list(aas)) for _ in range(64))
+        s2 = "".join(rng.choice(list(aas)) for _ in range(60))
+        g1 = sequence_graph(AA_SPEC, AA_SPEC.encode(s1))
+        g2 = sequence_graph(AA_SPEC, AA_SPEC.encode(s2))
+        items.append((g1, g2, model, DynProgScores(g1, g2, model, opts)))
+
+    align_pairs_device(items, interpret=True, mesh=mesh)   # compile + warm
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = align_pairs_device(items, interpret=True, mesh=mesh)
+        walls.append(time.perf_counter() - t0)
+        assert all(r is not None for r in out)
+    return sorted(walls)[1]
+
+
 def main():
-    if len(sys.argv) > 1:                      # child mode
-        n = int(sys.argv[1])
-        print(json.dumps({"n": n, "wall_s": run_one(n)}))
+    if len(sys.argv) > 2:                      # child mode
+        stage, n = sys.argv[1], int(sys.argv[2])
+        wall = run_one(n) if stage == "nw" else run_graphdp(n)
+        print(json.dumps({"n": n, "wall_s": wall}))
         return
 
-    rows = []
-    for n in (1, 2, 4, 8):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d" % n)
-        out = subprocess.run([sys.executable, __file__, str(n)], env=env,
-                             capture_output=True, text=True, check=True)
-        rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    for stage, per_dev in (("nw", PAIRS_PER_DEV),
+                           ("graphdp", 8 * GRAPHDP_GROUPS_PER_DEV)):
+        rows = []
+        for n in (1, 2, 4, 8):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d"
+                                % n)
+            out = subprocess.run([sys.executable, __file__, stage, str(n)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True)
+            rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
 
-    t1 = rows[0]["wall_s"]
-    print("| devices | pairs | wall (s) | weak-scaling eff. |")
-    print("|---|---|---|---|")
-    for r in rows:
-        print("| %d | %d | %.3f | %.0f%% |"
-              % (r["n"], PAIRS_PER_DEV * r["n"], r["wall_s"],
-                 100.0 * t1 / r["wall_s"]))
+        t1 = rows[0]["wall_s"]
+        print("%s:" % stage)
+        print("| devices | pairs | wall (s) | weak-scaling eff. |")
+        print("|---|---|---|---|")
+        for r in rows:
+            print("| %d | %d | %.3f | %.0f%% |"
+                  % (r["n"], per_dev * r["n"], r["wall_s"],
+                     100.0 * t1 / r["wall_s"]))
 
 
 if __name__ == "__main__":
