@@ -64,6 +64,33 @@ def _distance_transform(cos: np.ndarray, seq_len: np.ndarray, options):
     return d, var
 
 
+def compute_angle_distances_device(spec, seqs: Dict[str, np.ndarray],
+                                   order: List[str], options):
+    """MXU port of the angle distance (VERDICT r3 #10): the k-mer count
+    Gram matrix is one f32 matmul on the device; normalization and the
+    distance transform stay float64 on the host.
+
+    Rounding vs the f64 host path, measured on fam20/fam100: max cosine
+    difference ~1e-15 (1 f64 ulp), max distance difference ~2e-15, NJ
+    trees identical — but NOT guaranteed bit-identical for arbitrary
+    inputs (the host path replays Eigen's scaled-GEMM accumulation order;
+    this one divides by the norms after an exact integer Gram), so it is
+    wired only under the explicit device/pallas engines
+    (engine_policy.use_device_angle); ``auto`` keeps the parity path."""
+    import jax
+    import jax.numpy as jnp
+
+    counts, seq_len = kmer_counts(spec, seqs, order, spec.kmer_k)
+    C = jnp.asarray(counts.astype(np.float32))
+    G = np.asarray(jax.jit(
+        lambda c: jnp.dot(c, c.T, preferred_element_type=jnp.float32))(C)
+    ).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / np.sqrt(np.diag(G))
+        cos = G * inv[:, None] * inv[None, :]
+    return _distance_transform(cos, seq_len, options)
+
+
 def compute_angle_distances(spec, seqs: Dict[str, np.ndarray],
                             order: List[str], options):
     """Host float64 parity path.

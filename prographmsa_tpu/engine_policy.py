@@ -56,6 +56,16 @@ def use_device_nw(options) -> bool:
     return on_tpu()
 
 
+def use_device_angle(options) -> bool:
+    """Angle (k-mer) distances via the MXU Gram?  Only under the explicit
+    device engines: the Gram itself is exact for the fixture-scale counts,
+    but the host f64 path replays Eigen's accumulation order and its
+    rounding decides NJ tie-breaks — measured divergence is ~1e-15 with
+    identical trees on the golden corpus (BASELINE.md), yet ``auto``
+    keeps the bit-parity guarantee."""
+    return getattr(options, "engine", "auto") in ("device", "pallas")
+
+
 def use_device_prealigned(options) -> bool:
     """Prealigned pair statistics on device?  The counts GEMM is exact
     (0/1 bf16 operands, f32 accumulate) and gap openings are an int scan,

@@ -25,6 +25,10 @@ def compute_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
     if options.nwdist_flag:
         from ..distances.align import compute_nw_distances
         return compute_nw_distances(spec, seqs, order, factory, options)
+    from ..engine_policy import use_device_angle
+    if use_device_angle(options):
+        from ..distances.angle import compute_angle_distances_device
+        return compute_angle_distances_device(spec, seqs, order, options)
     return compute_angle_distances(spec, seqs, order, options)
 
 
