@@ -143,7 +143,8 @@ def test_kernel_on_real_tpu():
 
 
 def test_kernel_batch_mixed_pairs():
-    from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+    from prographmsa_tpu.align.graph_dp_pallas import (align_pairs_device,
+                                                      fallback_stats)
     rng = np.random.RandomState(9)
     AAs = "ACDEFGHIKLMNPQRSTVWY"
     m = FACT.get_model(0.4, OPTS)
@@ -159,9 +160,18 @@ def test_kernel_batch_mixed_pairs():
         aln, sc = _host_align(g1, g2, m)
         items.append((g1, g2, m, sc))
         expected.append(aln)
+    before = fallback_stats()
     res = align_pairs_device(items, interpret=True)
+    after = fallback_stats()
     assert all(r is not None for r in res)
     for r, aln in zip(res, expected):
         assert r[0] == aln.mapping1
         assert r[1] == aln.mapping2
         assert np.float32(r[2]) == np.float32(aln.score)
+    # silent-fallback regression guard (VERDICT r3 #6): chain/merged pairs
+    # of this shape must ALL stay on the device path, and the counters
+    # must record exactly that
+    assert after["pairs_device"] - before["pairs_device"] == len(items)
+    for k, v in after.items():
+        if k.startswith("fb_"):
+            assert v == before.get(k, 0), "silent fallback: %s" % k
