@@ -109,7 +109,8 @@ def main():
     prog.align_graphs = orig
     walls, refs = _interleaved(
         lambda: do_align(seqs, opts_fixed),
-        [REF_BIN, "--fasta", "-t", TREE, "-o", "/dev/null", FIXTURE])
+        [REF_BIN, "--fasta", "-t", TREE, "-o", "/dev/null", FIXTURE],
+        rounds=7)   # sub-200ms walls on a noisy box: more rounds -> stabler min
     detail["fixed_e2e_first_s"] = round(walls[0], 4)
     detail["fixed_e2e_wall_s"] = round(min(walls), 4)
     ref_fixed = min(refs)

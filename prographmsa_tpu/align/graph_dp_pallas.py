@@ -249,6 +249,18 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
 
         O1v = O1_ref[0]                  # (8, 128) i32
         O2v = O2_ref[0]
+
+        def o_smem(which, idx):
+            """Offset value per sublane as an (8,1) vector from the SMEM
+            scalar table (used by the fori M-loop, where the slot index is
+            traced and a VMEM lane read would be dynamic-lane)."""
+            base = 8 + which * 8 * op
+            si = jax.lax.broadcasted_iota(i32, (8, 1), 0)
+            acc = jnp.zeros((8, 1), i32)
+            for s in range(8):
+                acc = jnp.where(si == s, scal_ref[g, base + s * op + idx],
+                                acc)
+            return acc
         iv = IV_ref[0]
         n1 = iv[:, 0:1]                  # (8, 1) i32
         n2 = iv[:, 1:2]
@@ -346,16 +358,45 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
                     acc_cand(IY, CY, (w_sh + gi) - ci, (i << 1) | 1)
                     accV[IYB] = jnp.fmax(accV[IYB],
                                          jnp.fmax(t_ge, w_sh + sg) - ci)
-                    for j in reversed(range(op)):
-                        @when_slot(j < nlen2max)
-                        def _(i=i, j=j, o1i=o1i, ci=ci):
-                            o2j = O2v[:, j:j + 1]
-                            kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
-                            vij = d - o1i - o2j >= 0
-                            w2 = shift_rows(ring_read(ringW, kij, vij), o1i)
-                            acc_cand(IM, CM,
-                                     ((w2 + Sd) - ci) - C2w_ref[j],
-                                     (i << 4) | j)
+                    if op < 8:
+                        for j in reversed(range(op)):
+                            @when_slot(j < nlen2max)
+                            def _(i=i, j=j, o1i=o1i, ci=ci):
+                                o2j = O2v[:, j:j + 1]
+                                kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
+                                vij = d - o1i - o2j >= 0
+                                w2 = shift_rows(ring_read(ringW, kij, vij),
+                                                o1i)
+                                acc_cand(IM, CM,
+                                         ((w2 + Sd) - ci) - C2w_ref[j],
+                                         (i << 4) | j)
+
+            if op >= 8:
+                # M accumulation as nested fori over the REAL slot counts:
+                # an op x op static unroll costs minutes of Mosaic compile
+                # at op=16 and pays region overhead per padded slot; the
+                # dynamic loop visits only group-max slots (descending
+                # offsets on both axes, as above)
+                def m_outer(ii, c0):
+                    i = nlen1max - 1 - ii
+                    o1i = o_smem(0, i)
+                    ci = C1T_ref[0, pl.ds(i, 1)][0]
+
+                    def m_inner(jj, c1):
+                        j = nlen2max - 1 - jj
+                        o2j = o_smem(1, j)
+                        kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
+                        vij = d - o1i - o2j >= 0
+                        w2 = shift_rows(ring_read(ringW, kij, vij), o1i)
+                        cj = C2w_ref[pl.ds(j, 1)][0]
+                        acc_cand(IM, CM, ((w2 + Sd) - ci) - cj,
+                                 (i << 4) | j)
+                        return c1
+
+                    jax.lax.fori_loop(0, nlen2max, m_inner, 0)
+                    return c0
+
+                jax.lax.fori_loop(0, nlen1max, m_outer, 0)
 
             for j in reversed(range(op)):
                 @when_slot(j < nlen2max)
@@ -581,7 +622,7 @@ def _make_prologue(dim: int):
         # full-S temporaries at once — 2000-residue batches OOM HBM.  For
         # very long sequences even one group of 8 is too much; sweep pair
         # by pair (the per-step work is huge, so map overhead is noise).
-        chunk = _prologue_chunk(n1p, n2cap)
+        chunk = _prologue_chunk(n1p, n2cap, B)
         nch = B // chunk
         def grp(args):
             return jax.vmap(one)(*args)
@@ -595,12 +636,18 @@ def _make_prologue(dim: int):
     return jax.jit(prologue, static_argnames=())
 
 
-def _prologue_chunk(n1p: int, n2cap: int) -> int:
-    """Pairs per exact-S sweep (the replay holds ~6 S-sized temporaries
-    per pair, double-buffered): 8 up to 2048x2048 (~1.6 GB of sweep
-    temps), 4 beyond (a 1-pair sweep serializes the shear and was
-    measured 4x slower at L=2000)."""
-    return 8 if n1p * n2cap <= 2048 * 2048 else 4
+def _prologue_chunk(n1p: int, n2cap: int, B: int = 8) -> int:
+    """Pairs per exact-S sweep: the replay holds ~6 S-sized temporaries
+    per pair (double-buffered by lax.map), so pick the largest power-of-2
+    chunk whose sweep stays under ~1.6 GB — the whole batch for short
+    sequences (map steps serialize and cost more than they save), 8 at
+    L~2000, 4 at the 4096 cap."""
+    per_pair = 12 * n1p * n2cap * 4
+    cap = max(1, int(1.6e9 // per_pair))
+    chunk = 1
+    while chunk * 2 <= min(cap, B):
+        chunk *= 2
+    return chunk
 
 
 def _dbv_for(n1p: int, n2cap: int) -> int:
@@ -990,7 +1037,8 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
 
     # ---- host-side arrays (per-pair vector blocks are lane-padded to 128:
     # Mosaic's block-tiling rule rejects narrower VMEM blocks)
-    scal = np.zeros((G, 8), np.int32)
+    scal = np.zeros((G, 8 + 2 * 8 * op), np.int32)
+    scal[:, 8:] = 1                      # padded offset slots read as 1
     O1a = np.ones((B, 128), np.int32)
     O2a = np.ones((B, 128), np.int32)
     IVa = np.zeros((B, 128), np.int32)
@@ -1020,6 +1068,9 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
             m1_, m2_ = len(info.o1), len(info.o2)
             O1a[b, :m1_] = info.o1
             O2a[b, :m2_] = info.o2
+            scal[gi_, 8 + s * op:8 + s * op + m1_] = info.o1
+            scal[gi_, 8 + 8 * op + s * op:8 + 8 * op + s * op + m2_] = \
+                info.o2
             IVa[b, 0], IVa[b, 1] = info.n1, info.n2
             sc = info.scores
             PARa[b, :7] = (sc.gap_extend, sc.gap_init, sc.start_gap,
@@ -1125,7 +1176,8 @@ def _hbm_budget_ok(infos, tier):
     # from the XLA HBM dump at B=128/L=2048); those are freed before the
     # fill kernel runs, so the budget is the max of the two phases plus
     # the persistent arrays
-    prologue_tmp = 2 * 6 * _prologue_chunk(n1p, n2cap) * n1p * n2cap * 4
+    prologue_tmp = 2 * 6 * _prologue_chunk(n1p, n2cap, G * 8) \
+        * n1p * n2cap * 4
     persistent = G * per_group
     return persistent + prologue_tmp <= 6e9
 

@@ -175,3 +175,37 @@ def test_kernel_batch_mixed_pairs():
     for k, v in after.items():
         if k.startswith("fb_"):
             assert v == before.get(k, 0), "silent fallback: %s" % k
+
+
+def test_kernel_many_offsets_tiers():
+    # synthetic graphs with many distinct predecessor offsets exercise the
+    # big-tier (op >= 8) fori M-loop, which compiles differently from the
+    # unrolled small tiers
+    from prographmsa_tpu.graph.graph import Graph
+
+    rng = np.random.RandomState(17)
+    AAs = "ACDEFGHIKLMNPQRSTVWY"
+    m = FACT.get_model(0.5, OPTS)
+
+    def heavy(n, offsets, seed):
+        r = np.random.RandomState(seed)
+        prof = np.zeros((n - 2, 20))
+        prof[np.arange(n - 2), r.randint(0, 20, n - 2)] = 1.0
+        g = sequence_graph(AA_SPEC,
+                          AA_SPEC.encode("".join(r.choice(list(AAs), n - 2))))
+        preds = [list(p) for p in g.preds]
+        for i in range(2, n - 1):
+            for o in offsets:
+                if i - o >= 1 and r.rand() < 0.3:
+                    preds[i].append((i - o, np.float32(0.25 * o)))
+        for p in preds:
+            p.sort(key=lambda t: t[0])
+        return Graph(g.sites.copy(), preds, [list(x) for x in g.reps])
+
+    # tier-2 shaped (6-8 offsets, reach < 62) and tier-3 shaped (12+)
+    g1 = heavy(60, [2, 3, 5, 7, 11, 13, 17], 1)
+    g2 = heavy(55, [2, 3, 4, 6, 9], 2)
+    _assert_same(g1, g2, m)
+    g3 = heavy(48, [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 19, 23], 3)
+    g4 = heavy(52, [2, 3, 5, 8, 13, 21, 34, 55], 4)
+    _assert_same(g3, g4, m)
