@@ -211,6 +211,57 @@ def main():
     except Exception as e:  # noqa: BLE001 — optional on non-TPU hosts
         detail["graphdp_pallas_error"] = repr(e)
 
+    # ---- long-sequence graph-DP: the workload the TPU tier is for
+    # (8 x 2000-residue pairs; device vs native measured interleaved,
+    # min of 3 each — this box's load noise swings 2x)
+    try:
+        from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+        from prographmsa_tpu.alphabet import AA_SPEC
+        from prographmsa_tpu.graph.graph import sequence_graph
+        from prographmsa_tpu.models.factory import get_default_model_factory
+
+        rng = np.random.default_rng(11)
+        aas = list("ACDEFGHIKLMNPQRSTVWY")
+        long_encs = []
+        for _ in range(8):
+            s1 = "".join(rng.choice(aas) for _ in range(2000))
+            s2 = "".join(rng.choice(aas) for _ in range(1980))
+            long_encs.append((AA_SPEC.encode(s1), AA_SPEC.encode(s2)))
+        lmf = get_default_model_factory(
+            opts_fixed, AA_SPEC, [e for p in long_encs for e in p])
+        lmodel = lmf.get_model(0.7, opts_fixed, 0.7)
+        litems = []
+        for e1, e2 in long_encs:
+            lg1 = sequence_graph(AA_SPEC, e1)
+            lg2 = sequence_graph(AA_SPEC, e2)
+            litems.append((lg1, lg2, lmodel,
+                           DynProgScores(lg1, lg2, lmodel, opts_fixed)))
+        lcells = sum(a.size * b.size for a, b, _, _ in litems)
+        align_pairs_device(litems)             # compile
+        import prographmsa_tpu.engine.progressive as _prog
+        nopts = opts_fixed.replace(engine="native")
+        dts_d, dts_n = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            lout = align_pairs_device(litems)
+            dts_d.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for lg1, lg2, lm, lsc in litems:
+                _prog.align_graphs(lg1, lg2, lm, nopts, scores=lsc)
+            dts_n.append(time.perf_counter() - t0)
+        assert all(r is not None for r in lout)
+        detail["graphdp_long_cells"] = lcells
+        detail["graphdp_long_device_wall_s"] = round(min(dts_d), 4)
+        detail["graphdp_long_native_wall_s"] = round(min(dts_n), 4)
+        detail["graphdp_long_cells_per_sec_device"] = round(
+            lcells / min(dts_d))
+        detail["graphdp_long_cells_per_sec_native"] = round(
+            lcells / min(dts_n))
+        detail["graphdp_long_device_vs_native"] = round(
+            min(dts_n) / min(dts_d), 3)
+    except Exception as e:  # noqa: BLE001 — optional on non-TPU hosts
+        detail["graphdp_long_error"] = repr(e)
+
     # ---- all-pairs NW device kernel (actual cells on BOTH sides)
     try:
         from prographmsa_tpu.alphabet import AA_SPEC
