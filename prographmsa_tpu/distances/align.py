@@ -343,10 +343,12 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
         nb = len(chunk)
         seqlens = np.array([(lens[order[i]] + lens[order[j]]) / 2.0
                             for (i, j) in chunk])
-        db, vb = compute_distances_batch(
-            np.asarray(counts_b[:nb], dtype=np.int64),
-            np.asarray(gaps_b[:nb], dtype=np.int64), seqlens, factory,
-            options, spec.name)
+        from .. import timings
+        with timings.phase("ml_newton"):
+            db, vb = compute_distances_batch(
+                np.asarray(counts_b[:nb], dtype=np.int64),
+                np.asarray(gaps_b[:nb], dtype=np.int64), seqlens, factory,
+                options, spec.name)
         for b, (i, j) in enumerate(chunk):
             distances[i, j] = distances[j, i] = db[b]
             variances[i, j] = variances[j, i] = vb[b]
