@@ -114,7 +114,10 @@ def calibration() -> dict:
             if cache_dir else None)
     if path is not None and path.exists():
         try:
-            return json.loads(path.read_text())
+            got = json.loads(path.read_text())
+            if (1e-5 <= got.get("roundtrip_s", 0) <= 0.5
+                    and 1.0 <= got.get("fetch_mbps", 0) <= 1e5):
+                return got
         except Exception:  # noqa: BLE001 — stale/corrupt: reprobe
             pass
     calib = {"roundtrip_s": 0.025, "fetch_mbps": 15.0}   # tunnel defaults
@@ -136,10 +139,14 @@ def calibration() -> dict:
         y = jnp.asarray(_np.random.default_rng(0)
                         .random(262144, dtype=_np.float32))
         (y + 1).block_until_ready()
-        t0 = time.perf_counter()
-        _np.asarray(y + 1)
-        dt = max(1e-5, time.perf_counter() - t0)
-        calib["fetch_mbps"] = round(1.0 / dt, 1)
+        best = None
+        for _ in range(2):      # first fetch can hit a queued backlog
+            t0 = time.perf_counter()
+            _np.asarray(y + 1)
+            dt = max(1e-5, time.perf_counter() - t0)
+            best = dt if best is None or dt < best else best
+        calib["fetch_mbps"] = float(_np.clip(round(1.0 / best, 1),
+                                             1.0, 1e5))
         calib["backend"] = jax.default_backend()
     except Exception:  # noqa: BLE001 — no backend: host tiers anyway
         pass
