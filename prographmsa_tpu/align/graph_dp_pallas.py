@@ -44,9 +44,10 @@ decision with gather storms):
       (including Wend itself) from those.
   A step that selects a repeat edge still bails to the host
   (markAlternativePath, GraphAlign.h:166-198): per-(node, offset-bucket)
-  "min cost is strictly a repeat edge" bits are host-precomputed, and any
-  tie between a repeat and a normal bucket also bails (conservative: the
-  host fallback recomputes the pair exactly).
+  "min cost is strictly a repeat edge" bits are host-precomputed.  A cost
+  TIE between a repeat and a normal edge resolves to the normal edge and
+  does NOT bail — matching the host, whose PredIterator visits normal
+  edges before repeats so ties pick the normal edge there too.
 
 Hardware facts this design encodes (probed on the axon-tunneled v5e):
 dynamic sublane *writes* and dynamic DMA offsets lower; dynamic sublane
@@ -210,7 +211,7 @@ def _prep_pair(idx, g1, g2, model, scores):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
+def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
                  interpret: bool):
     import jax
     import jax.numpy as jnp
@@ -271,6 +272,7 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
         si = par[:, 3:4]
 
         ys = jax.lax.broadcasted_iota(i32, (1, n1p), 1)
+        xsl = jax.lax.broadcasted_iota(i32, (1, n2p), 1)
         neg8 = jnp.full((8, n1p), NEG)
         IY, IYB, IX, IXB, IM = 0, 1, 2, 3, 4
         CY, CX, CM = 0, 1, 2
@@ -444,9 +446,13 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
 
             # boundary value stripes: stripeY[s, y] = Y[y, 0] (== W[y, 0]),
             # stripeX[s, x] = X[0, x] (== W[0, x]); consumed by the chase's
-            # boundary argmin replay (backtrack.py:140-172)
+            # boundary argmin replay (backtrack.py:140-172).  stripeX is
+            # n2p (not n1p) lanes wide and indexed by its OWN lane iota:
+            # x runs to n2-1, which exceeds n1p for asymmetric pairs
+            # (ADVICE r4 high — the old n1p-wide stripe silently dropped
+            # boundary values for d >= n1p)
             stripeY_ref[0] = jnp.where(ys == d, Yrow, stripeY_ref[0])
-            stripeX_ref[0] = jnp.where(ys == d, Xrow[:, 0:1],
+            stripeX_ref[0] = jnp.where(xsl == d, Xrow[:, 0:1],
                                        stripeX_ref[0])
 
             # tail staging is unconditional (cheap, and keeps the DMA
@@ -467,7 +473,7 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
         tailX_st[0:1] = neg8[None]
         tailY_st[0:1] = neg8[None]
         stripeY_ref[0] = neg8
-        stripeX_ref[0] = neg8
+        stripeX_ref[0] = jnp.full((8, n2p), NEG)
         for j in range(op):
             C2w_ref[j] = jnp.full((8, n1p), COST_INF)
 
@@ -545,7 +551,7 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
             pl.BlockSpec(memory_space=pltpu.ANY),         # tailY
             pl.BlockSpec((1, 8, n1p), lambda g, s: (g, 0, 0),
                          memory_space=pltpu.VMEM),        # stripeY
-            pl.BlockSpec((1, 8, n1p), lambda g, s: (g, 0, 0),
+            pl.BlockSpec((1, 8, n2p), lambda g, s: (g, 0, 0),
                          memory_space=pltpu.VMEM),        # stripeX
         ],
         scratch_shapes=[pltpu.VMEM((8, 8, n1p), jnp.int32)]       # codes_st
@@ -563,7 +569,7 @@ def _make_kernel(G: int, n1p: int, DBv: int, op: int, R: int,
         jax.ShapeDtypeStruct((G, TCAP, 8, n1p), jnp.float32),
         jax.ShapeDtypeStruct((G, TCAP, 8, n1p), jnp.float32),
         jax.ShapeDtypeStruct((G, 8, n1p), jnp.float32),
-        jax.ShapeDtypeStruct((G, 8, n1p), jnp.float32),
+        jax.ShapeDtypeStruct((G, 8, n2p), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -645,7 +651,10 @@ def _prologue_chunk(n1p: int, n2cap: int, B: int = 8) -> int:
     per_pair = 12 * n1p * n2cap * 4
     cap = max(1, int(1.6e9 // per_pair))
     chunk = 1
-    while chunk * 2 <= min(cap, B):
+    # the lax.map reshape needs chunk | B, and mesh padding can make B a
+    # non-power-of-two (e.g. G padded to a multiple of 3 devices): take
+    # the largest power-of-two DIVISOR of B under the cap (ADVICE r4)
+    while chunk * 2 <= min(cap, B) and B % (chunk * 2) == 0:
         chunk *= 2
     return chunk
 
@@ -706,6 +715,7 @@ def _make_chase():
         (ge, gi, sg, si, em, eg, es); n1b/n2b/end_lob [B] i32.
         Returns (m1 [B, Lm] i32, m2, meta [B, 16] f32)."""
         G, DBv, _, n1p = codes.shape
+        n2p = stripeX.shape[2]           # boundary-X stripe is n2cap wide
         TCAP = tailM.shape[1]
         B, op = O1b.shape
         npad1 = C1f.shape[1]
@@ -745,11 +755,11 @@ def _make_chase():
                              + sbe) * n1p + yp)
             return jnp.where(ok, v, NEGc)
 
-        def stripe_at(flatP, pos):
+        def stripe_at(flatP, pos, width):
             ex = pos.shape[1:]
             gbe = gb.reshape((B,) + (1,) * len(ex))
             sbe = sb.reshape((B,) + (1,) * len(ex))
-            return take(flatP, (gbe * 8 + sbe) * n1p + pos)
+            return take(flatP, (gbe * 8 + sbe) * width + pos)
 
         # ---- end transition (GraphAlign.h:304-353 / backtrack.py:75-108)
         # candidate order: slots in descending offset (= PredIterator
@@ -846,11 +856,11 @@ def _make_chase():
             # start_gap but candidates use gap_init -> explicit argmin
             ypb = y[:, None] - O1b[:, ::-1]                  # desc order
             okb = ypb >= 0
-            sy = stripe_at(strYf, jnp.maximum(ypb, 0))
+            sy = stripe_at(strYf, jnp.maximum(ypb, 0), n1p)
             yv = jnp.where(ypb == 0, NEGc, sy)
             wv = jnp.where(ypb == 0, si[:, None], sy)
             cyb = C1f[bidx, jnp.clip(y, 0, npad1 - 1)][:, ::-1]
-            csY = stripe_at(strYf, y[:, None])[:, 0]
+            csY = stripe_at(strYf, y[:, None], n1p)[:, 0]
             d1 = jnp.abs(csY[:, None] - ((yv + ge[:, None]) - cyb))
             d2 = jnp.abs(csY[:, None] - ((wv + gi[:, None]) - cyb))
             candB = jnp.where(okb[:, :, None] & (cyb < COST_INF)[:, :, None],
@@ -862,11 +872,11 @@ def _make_chase():
             # boundary-X replay (y == 0; backtrack.py:157-172)
             xpb = x[:, None] - O2b[:, ::-1]
             okb2 = xpb >= 0
-            sx = stripe_at(strXf, jnp.maximum(xpb, 0))
+            sx = stripe_at(strXf, jnp.maximum(xpb, 0), n2p)
             xv = jnp.where(xpb == 0, NEGc, sx)
             wv2 = jnp.where(xpb == 0, si[:, None], sx)
             cxb = C2f[bidx, jnp.clip(x, 0, npad2 - 1)][:, ::-1]
-            csX = stripe_at(strXf, x[:, None])[:, 0]
+            csX = stripe_at(strXf, x[:, None], n2p)[:, 0]
             e1 = jnp.abs(csX[:, None] - ((xv + ge[:, None]) - cxb))
             e2 = jnp.abs(csX[:, None] - ((wv2 + gi[:, None]) - cxb))
             candB2 = jnp.where(okb2[:, :, None] & (cxb < COST_INF)[:, :, None],
@@ -1107,7 +1117,7 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
     else:
         Sdiag = jnp.asarray(_host_sdiag_group(groups, n1p, DBv))
 
-    kern = _make_kernel(G // ndev, n1p, DBv, op, R, interpret)
+    kern = _make_kernel(G // ndev, n1p, n2cap, DBv, op, R, interpret)
     chase = _make_chase()
     pack = _jit_pack()
 
@@ -1226,19 +1236,21 @@ def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None,
 
     launches = []
     for tier, infos in sorted(tiers.items()):
-        # chunk a class when its HBM footprint would exceed the budget
-        chunk = list(infos)
-        while chunk and not _hbm_budget_ok(chunk, tier):
-            half = max(1, len(chunk) // 2)
-            launches_add, chunk = chunk[:half], chunk[half:]
-            if not _hbm_budget_ok(launches_add, tier):
-                # even one pair too big (enormous sequences): host fallback
-                for info in launches_add:
-                    _fallback_stats["fb_size"] += 1
-                continue
-            launches.append((tier, launches_add))
-        if chunk:
-            launches.append((tier, chunk))
+        # chunk a class when its HBM footprint would exceed the budget:
+        # recursive halving down to single pairs (ADVICE r4 — halving just
+        # once dropped whole still-splittable halves to the host)
+        stack = [list(infos)]
+        while stack:
+            chunk = stack.pop()
+            if _hbm_budget_ok(chunk, tier):
+                launches.append((tier, chunk))
+            elif len(chunk) > 1:
+                half = len(chunk) // 2
+                stack.append(chunk[half:])
+                stack.append(chunk[:half])
+            else:
+                # a single pair too big (enormous sequences): host fallback
+                _fallback_stats["fb_size"] += 1
 
     outs = []
     timers = _mark if (dbg or profile is not None) else None

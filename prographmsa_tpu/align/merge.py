@@ -115,9 +115,9 @@ def _homologous_path_edges(edges, result_m1, result_m2, is_matched, n_nodes):
 
 def _inverse_mapping(result_m, size):
     inv = np.zeros(size, dtype=np.int64)
-    for i, m in enumerate(result_m):
-        if m != -1:
-            inv[m] = i
+    ma = np.asarray(result_m, dtype=np.int64)
+    idx = np.nonzero(ma != -1)[0]
+    inv[ma[idx]] = idx
     return inv
 
 
@@ -145,6 +145,17 @@ def _readd_edges(edges, repeats, graph, inv_map, is_matched, unused_penalty):
                     repeats[key] = min(repeats[key], units)
                 else:
                     repeats[key] = units
+
+
+def _graph_from_padded(nodes: np.ndarray, padded) -> Graph:
+    """Graph from the fused native merge's padded arrays."""
+    n = nodes.shape[0]
+    sites = np.ascontiguousarray(nodes, dtype=np.float64)
+    if sites is nodes:
+        sites = sites.copy()
+    sites[0] = 0.0
+    sites[n - 1] = 0.0
+    return Graph.from_padded(sites, *padded)
 
 
 def _graph_from_edge_arrays(nodes: np.ndarray, arrs) -> Graph:
@@ -201,21 +212,21 @@ def merge_graphs(g1: Graph, g2: Graph, mapping1, mapping2, model1, model2,
                 nodes[j] = _norm_or_zero(P2 @ g2.sites[m2[j]])
         nodes_arr = np.array(nodes)
 
-    inv1 = _inverse_mapping(m1, g1.size)
-    inv2 = _inverse_mapping(m2, g2.size)
-
     asp = options.altsplice_prob
     up1 = f32(-LOG(asp + (1.0 - asp) * (1.0 - support1)))
     up2 = f32(-LOG(asp + (1.0 - asp) * (1.0 - support2)))
 
     if use_native:
         from .. import native
-        res = native.merge_edges_native(m1, m2, matched, g1, inv1, g2, inv2,
-                                        up1, up2, True)
-        if res is not None:
-            graph = _graph_from_edge_arrays(nodes_arr, res)
+        padded = native.merge_node_native(m1, m2, matched, g1, g2,
+                                          up1, up2, True)
+        if padded is not None:
+            graph = _graph_from_padded(nodes_arr, padded)
             return AncestralResult(graph=graph, mapping1=m1, mapping2=m2,
                                    is_matched=matched)
+
+    inv1 = _inverse_mapping(m1, g1.size)
+    inv2 = _inverse_mapping(m2, g2.size)
 
     _homologous_path_edges(edges, m1, m2, matched, len(nodes_arr))
     _readd_edges(edges, repeats, g1, inv1, matched, up1)
@@ -256,15 +267,15 @@ def merge_graphs_incremental(anc_graph: Graph, graph: Graph, anc_mapping,
                                         * (P @ graph.sites[k2]))
         nodes_arr = np.array(nodes)
 
-    inv1 = _inverse_mapping(m1, anc_graph.size)
-    inv2 = _inverse_mapping(m2, graph.size)
-
-    res = native.merge_edges_native(m1, m2, matched, anc_graph, inv1,
-                                    graph, inv2, 0.0, 0.0, False)
-    if res is not None:
-        g = _graph_from_edge_arrays(nodes_arr, res)
+    padded = native.merge_node_native(m1, m2, matched, anc_graph, graph,
+                                      0.0, 0.0, False)
+    if padded is not None:
+        g = _graph_from_padded(nodes_arr, padded)
         return AncestralResult(graph=g, mapping1=m1, mapping2=m2,
                                is_matched=matched)
+
+    inv1 = _inverse_mapping(m1, anc_graph.size)
+    inv2 = _inverse_mapping(m2, graph.size)
 
     _homologous_path_edges(edges, m1, m2, matched, len(nodes_arr))
     _readd_edges(edges, repeats, anc_graph, inv1, matched, None)

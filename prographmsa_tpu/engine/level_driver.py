@@ -133,37 +133,37 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
                 alns[k] = AlignmentResult(score=score, n_tr_indels=ntr,
                                           mapping1=m1, mapping2=m2)
 
-        # the align stage is C-kernel-heavy (ctypes releases the GIL), so
-        # sharding it across cores wins; the merge stage is GIL-bound
-        # Python index surgery, so it stays in the sequential loop below
-        def _align_shard(ks):
-            out = []
+        # align + merge + extend of independent nodes, sharded across
+        # cores as ONE fused per-node task: the align stage is C-kernel
+        # heavy (ctypes releases the GIL), and the merge/extend stage's
+        # heavy parts (unify/merge_edges/pad_edges native kernels, numpy
+        # extension) also drop the GIL — fusing them lets one core merge
+        # node A while the other still aligns node B.  Every per-node
+        # result is a pure function of that node's own inputs, so the
+        # outcome is identical to the sequential order (results[] writes
+        # go to distinct indices).
+        def _finish_shard(ks):
             for k in ks:
-                cg1, cg2 = items[k][0], items[k][1]
-                out.append((k, align_graphs(cg1, cg2, items[k][2], options,
-                                            scores=items[k][3])[0]))
-            return out
+                i = ready[k]
+                aln = alns[k]
+                if aln is None:
+                    cg1, cg2 = items[k][0], items[k][1]
+                    aln = align_graphs(cg1, cg2, items[k][2], options,
+                                       scores=items[k][3])[0]
+                t, c0, c1 = nodes[i]
+                results[i] = align_progressive_results(
+                    results[c0], results[c1], t[0].branch_length,
+                    t[1].branch_length, t[0].branch_support,
+                    t[1].branch_support, factory, options, spec,
+                    prealigned=preps[i], aln=aln)
 
-        host_idx = [k for k in range(len(ready)) if alns[k] is None]
-        if host_idx:
-            if pool is not None and len(host_idx) > 1:
-                # one coarse task per worker: task-dispatch overhead on a
-                # 2-core host would otherwise eat the concurrency win
-                shards = [host_idx[s::nt] for s in range(nt)]
-                for part in pool.map(_align_shard, shards):
-                    for k, aln in part:
-                        alns[k] = aln
-            else:
-                for k, aln in _align_shard(host_idx):
-                    alns[k] = aln
-
-        for k, i in enumerate(ready):
-            t, c0, c1 = nodes[i]
-            r1, r2 = results[c0], results[c1]
-            results[i] = align_progressive_results(
-                r1, r2, t[0].branch_length, t[1].branch_length,
-                t[0].branch_support, t[1].branch_support, factory, options,
-                spec, prealigned=preps[i], aln=alns[k])
+        if pool is not None and len(ready) > 1:
+            # one coarse task per worker: task-dispatch overhead on a
+            # 2-core host would otherwise eat the concurrency win
+            shards = [list(range(len(ready)))[s::nt] for s in range(nt)]
+            list(pool.map(_finish_shard, shards))
+        else:
+            _finish_shard(range(len(ready)))
 
         done = set(ready)
         pending = [i for i in pending if i not in done]

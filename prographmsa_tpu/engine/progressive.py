@@ -58,6 +58,17 @@ def align_graphs(g1: Graph, g2: Graph, model, options,
             return AlignmentResult(score=score, n_tr_indels=ntr,
                                    mapping1=m1, mapping2=m2), scores
 
+    if engine in ("auto", "native", "pallas"):
+        # fused native node alignment: S + fill + backtrack in ONE call
+        # with thread-local scratch — the staged path below allocates five
+        # numpy matrices and crosses ctypes ~60 times per node, which on
+        # short guide-tree pairs costs more than the DP itself
+        with timings.phase("dp_fused"):
+            from .. import native
+            aln = native.align_node_native(g1, g2, model, scores)
+        if aln is not None:
+            return aln, scores
+
     with timings.phase("scores"):
         S = precompute_scores(g1, g2, model, scores, engine)
 

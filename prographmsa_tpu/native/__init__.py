@@ -119,6 +119,19 @@ def lib():
                                      pi32, pi32, pi32, pi32_1]
         L.gc_edge_span.restype = i32
         L.gc_edge_span.argtypes = [i32, i32, pi32, i32, pi32]
+        L.gc_align_node.restype = i32
+        L.gc_align_node.argtypes = [i32, i32, i32, i32, i32,
+                                    pi32, pf32, pi32, pf32,
+                                    pf32, pf32, pf32, pf32, f32,
+                                    f32, f32, f32, f32, f32, f32, f32,
+                                    pi32, pi32, pf32_1]
+        L.gc_merge_node_begin.restype = i32
+        L.gc_merge_node_begin.argtypes = [i32, pi32, pi32, pu8,
+                                          i32, i32, pi32, pf32, pu8, pi32,
+                                          i32, i32, pi32, pf32, pu8, pi32,
+                                          f32, f32, i32]
+        L.gc_merge_node_finish.restype = None
+        L.gc_merge_node_finish.argtypes = [i32, i32, pi32, pf32, pu8, pi32]
         L.gc_pad_edges.restype = None
         L.gc_pad_edges.argtypes = [i32, i32, i32, pi32, pi32, pf32,
                                    i32, pi32, pi32, pi32,
@@ -356,6 +369,49 @@ def backtrack_native(g1, g2, dp, scores):
                            mapping2=list(map2[:n][::-1]))
 
 
+def align_node_native(g1, g2, model, scores):
+    """Fused gc_align_node: S + fill + backtrack in one native call with
+    thread-local scratch (no per-stage numpy matrix roundtrips).  Only for
+    repeat-free graph pairs; None when unavailable/not applicable — the
+    caller falls back to the staged path, which is bit-identical."""
+    L = lib()
+    if L is None:
+        return None
+    if g1.padded()[2].any() or g2.padded()[2].any():
+        return None
+    from ..align.dp import _padded_with_repeat_costs
+    from ..align.backtrack import AlignmentResult
+
+    idx1, cost1, _ = _padded_with_repeat_costs(g1, scores)
+    idx2, cost2, _ = _padded_with_repeat_costs(g2, scores)
+    n1, n2 = g1.size, g2.size
+    g1s = np.ascontiguousarray(g1.sites, dtype=np.float32)
+    g2s = np.ascontiguousarray(g2.sites, dtype=np.float32)
+    M = np.ascontiguousarray(model.M, dtype=np.float32)
+    pi = np.ascontiguousarray(model.pi, dtype=np.float32)
+    cap = n1 + n2 + 4
+    map1 = np.empty(cap, dtype=np.int32)
+    map2 = np.empty(cap, dtype=np.int32)
+    wend = ctypes.c_float()
+    n = L.gc_align_node(n1, n2, M.shape[0], idx1.shape[1], idx2.shape[1],
+                        _d(idx1), _d(cost1), _d(idx2), _d(cost2),
+                        _d(g1s), _d(g2s), _d(M), _d(pi),
+                        np.float32(scores.match_init),
+                        np.float32(scores.gap_extend),
+                        np.float32(scores.gap_init),
+                        np.float32(scores.start_gap),
+                        np.float32(scores.start_init),
+                        np.float32(scores.end_match),
+                        np.float32(scores.end_gap),
+                        np.float32(scores.end_skip),
+                        _d(map1), _d(map2), ctypes.byref(wend))
+    if n < 0:
+        return None
+    return AlignmentResult(score=np.float32(wend.value), n_tr_indels=0,
+                           mapping1=list(map1[:n][::-1]),
+                           mapping2=list(map2[:n][::-1]))
+
+
 def precompute_scores_native(g1, g2, model, match_init):
     """Native gc_precompute_scores -> S [n1, n2] float32, bit-identical to
     align/scores.precompute_scores.  None when unavailable."""
@@ -459,6 +515,35 @@ def merge_edges_native(m1, m2, matched, g1, inv1, g2, inv2,
     ne, nr = ne.value, nr.value
     return (e_to[:ne], e_from[:ne], e_cost[:ne],
             r_to[:nr], r_from[:nr], r_units[:nr])
+
+
+def merge_node_native(m1, m2, matched, g1, g2, up1, up2, with_penalty):
+    """Fused gc_merge_node_begin/finish: inverse mappings + edge
+    construction + padded packing with native thread-local staging (no
+    Python-side capacity arrays; one eighth the ctypes crossings of the
+    staged merge_edges_native + pad_edges_native path).  Returns the
+    padded (idx, cost, isrep, units) arrays, or None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n_nodes = len(m1)
+    m1a = np.asarray(m1, dtype=np.int32)
+    m2a = np.asarray(m2, dtype=np.int32)
+    ma = np.asarray(matched, dtype=np.uint8)
+    idx1, cost1, isrep1, units1 = g1.padded()
+    idx2, cost2, isrep2, units2 = g2.padded()
+    E = L.gc_merge_node_begin(
+        n_nodes, _d(m1a), _d(m2a), _d(ma),
+        g1.size, idx1.shape[1], _d(idx1), _d(cost1), _d(isrep1), _d(units1),
+        g2.size, idx2.shape[1], _d(idx2), _d(cost2), _d(isrep2), _d(units2),
+        np.float32(up1), np.float32(up2), 1 if with_penalty else 0)
+    idx = np.empty((n_nodes, E), dtype=np.int32)
+    cost = np.empty((n_nodes, E), dtype=np.float32)
+    isrep = np.empty((n_nodes, E), dtype=bool)
+    units = np.empty((n_nodes, E), dtype=np.int32)
+    L.gc_merge_node_finish(n_nodes, E, _d(idx), _d(cost), _d(isrep),
+                           _d(units))
+    return idx, cost, isrep, units
 
 
 def nw_counts_native(s1b, s2b, l1, l2, scoring, go, ge, dim):

@@ -671,7 +671,7 @@ static inline void upd_edge(std::map<std::pair<int32_t, int32_t>, float>& m,
     else it->second = std::min(it->second, cost);
 }
 
-void gc_merge_edges(int32_t n_nodes,
+static void merge_edges_impl(int32_t n_nodes,
                     const int32_t* m1, const int32_t* m2,
                     const uint8_t* matched,
                     // graph 1
@@ -764,6 +764,26 @@ void gc_merge_edges(int32_t n_nodes,
     }
     *ne_out = ne;
     *nr_out = nr;
+}
+
+void gc_merge_edges(int32_t n_nodes,
+                    const int32_t* m1, const int32_t* m2,
+                    const uint8_t* matched,
+                    int32_t g1n, int32_t g1E, const int32_t* idx1,
+                    const float* cost1, const uint8_t* isrep1,
+                    const int32_t* units1, const int32_t* inv1,
+                    int32_t g2n, int32_t g2E, const int32_t* idx2,
+                    const float* cost2, const uint8_t* isrep2,
+                    const int32_t* units2, const int32_t* inv2,
+                    float up1, float up2, int32_t with_penalty,
+                    int32_t* e_to, int32_t* e_from, float* e_cost,
+                    int32_t* ne_out,
+                    int32_t* r_to, int32_t* r_from, int32_t* r_units,
+                    int32_t* nr_out) {
+    merge_edges_impl(n_nodes, m1, m2, matched, g1n, g1E, idx1, cost1,
+                     isrep1, units1, inv1, g2n, g2E, idx2, cost2, isrep2,
+                     units2, inv2, up1, up2, with_penalty, e_to, e_from,
+                     e_cost, ne_out, r_to, r_from, r_units, nr_out);
 }
 
 // ---------------------------------------------------------------------
@@ -983,6 +1003,96 @@ int32_t gc_unify(void* gemv_fn, void* ddot_fn, int32_t blas64, int32_t dim,
   }
 #undef EMIT
   return out;
+}
+
+// ---------------------------------------------------------------------
+// Fused per-node alignment: S precompute + M/X/Y/W fill + backtrack in ONE
+// native call (the per-stage Python roundtrips — five numpy matrix
+// allocations plus ~60 ctypes pointer conversions per node — cost more
+// than the C compute itself on small guide-tree pairs; measured round 5).
+// Scratch planes live in thread_local grow-only buffers so a level driver
+// thread pays the allocation once.  Returns the emitted mapping length,
+// -1 on backtrack failure (caller falls back to the staged path), with the
+// alignment score in *wend.  Bit-identical by construction: it calls the
+// exact same gc_precompute_scores / gc_fill_dp / gc_backtrack bodies.
+int32_t gc_align_node(int32_t n1, int32_t n2, int32_t dim,
+                      int32_t e1, int32_t e2,
+                      const int32_t* idx1, const float* cost1,
+                      const int32_t* idx2, const float* cost2,
+                      const float* g1s, const float* g2s,
+                      const float* Mm, const float* pi, float match_init,
+                      float ge, float gi, float sg, float start_init,
+                      float end_match, float end_gap, float end_skip,
+                      int32_t* map1, int32_t* map2, float* wend) {
+  static thread_local std::vector<float> Sb, Mb, Xb, Yb, Wb;
+  size_t cells = (size_t)n1 * n2;
+  if (Sb.size() < cells) {
+    Sb.resize(cells); Mb.resize(cells); Xb.resize(cells);
+    Yb.resize(cells); Wb.resize(cells);
+  }
+  gc_precompute_scores(n1, n2, dim, g1s, g2s, Mm, pi, match_init,
+                       Sb.data());
+  gc_fill_dp(n1, n2, e1, e2, idx1, cost1, idx2, cost2, Sb.data(), ge, gi,
+             sg, start_init, end_match, end_gap, end_skip, Mb.data(),
+             Xb.data(), Yb.data(), Wb.data(), wend);
+  return gc_backtrack(n1, n2, e1, e2, idx1, cost1, idx2, cost2, Sb.data(),
+                      Mb.data(), Xb.data(), Yb.data(), Wb.data(), *wend,
+                      ge, gi, end_match, end_gap, end_skip, map1, map2);
+}
+
+// ---------------------------------------------------------------------
+// Fused per-node merge: inverse mappings + edge construction + padded
+// packing with ONE intermediate staging (thread-local) instead of six
+// Python-side capacity arrays and three ctypes calls per node.  Two-call
+// protocol because the padded width E is only known after construction:
+//   E = gc_merge_node_begin(...)   computes edges into thread-local state
+//   gc_merge_node_finish(n, E, ...) packs them into the caller's [n, E]
+// Both calls MUST run on the same OS thread with no interleaved
+// begin-call (the Python wrapper invokes them back to back).
+static thread_local std::vector<int32_t> mn_eto, mn_efrom, mn_rto,
+                                         mn_rfrom, mn_runits;
+static thread_local std::vector<float> mn_ecost;
+static thread_local int32_t mn_ne = 0, mn_nr = 0;
+
+int32_t gc_merge_node_begin(
+    int32_t n_nodes, const int32_t* m1, const int32_t* m2,
+    const uint8_t* matched,
+    int32_t g1n, int32_t g1E, const int32_t* idx1, const float* cost1,
+    const uint8_t* isrep1, const int32_t* units1,
+    int32_t g2n, int32_t g2E, const int32_t* idx2, const float* cost2,
+    const uint8_t* isrep2, const int32_t* units2,
+    float up1, float up2, int32_t with_penalty) {
+  std::vector<int32_t> inv1((size_t)g1n, 0), inv2((size_t)g2n, 0);
+  for (int32_t i = 0; i < n_nodes; ++i) {
+    if (m1[i] != -1) inv1[m1[i]] = i;
+    if (m2[i] != -1) inv2[m2[i]] = i;
+  }
+  size_t cap = (size_t)n_nodes * 4 + (size_t)g1n * g1E
+             + (size_t)g2n * g2E + 16;
+  if (mn_eto.size() < cap) {
+    mn_eto.resize(cap); mn_efrom.resize(cap); mn_ecost.resize(cap);
+    mn_rto.resize(cap); mn_rfrom.resize(cap); mn_runits.resize(cap);
+  }
+  merge_edges_impl(n_nodes, m1, m2, matched,
+                   g1n, g1E, idx1, cost1, isrep1, units1, inv1.data(),
+                   g2n, g2E, idx2, cost2, isrep2, units2, inv2.data(),
+                   up1, up2, with_penalty,
+                   mn_eto.data(), mn_efrom.data(), mn_ecost.data(), &mn_ne,
+                   mn_rto.data(), mn_rfrom.data(), mn_runits.data(),
+                   &mn_nr);
+  std::vector<int32_t> cnt((size_t)n_nodes, 0);
+  for (int32_t k = 0; k < mn_ne; ++k) ++cnt[mn_eto[k]];
+  for (int32_t k = 0; k < mn_nr; ++k) ++cnt[mn_rto[k]];
+  int32_t E = 1;
+  for (int32_t i = 0; i < n_nodes; ++i) E = std::max(E, cnt[i]);
+  return E;
+}
+
+void gc_merge_node_finish(int32_t n, int32_t E, int32_t* idx, float* cost,
+                          uint8_t* isrep, int32_t* units) {
+  gc_pad_edges(n, E, mn_ne, mn_eto.data(), mn_efrom.data(), mn_ecost.data(),
+               mn_nr, mn_rto.data(), mn_rfrom.data(), mn_runits.data(),
+               idx, cost, isrep, units);
 }
 
 }  // extern "C"

@@ -92,6 +92,29 @@ def test_kernel_random_pairs():
         _assert_same(_chain(s1), _chain(s2), m)
 
 
+def test_kernel_asymmetric_long_g2():
+    """n2 >> n1 pairs (ADVICE r4 high): the traceback walks the y==0
+    boundary past x = n1p (128 lanes), so the boundary-X stripe must be
+    n2cap wide — the old n1p-wide stripe silently dropped X[0, x] values
+    for x >= n1p and the chase's flat gather read the next sublane."""
+    AAs = "ACDEFGHIKLMNPQRSTVWY"
+    m = FACT.get_model(0.3, OPTS)
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        s_long = "".join(rng.choice(list(AAs), 190))
+        # a mutated/deleted variant -> merged g2 with multi-offset edges
+        chars = list(s_long)
+        for k in sorted(rng.choice(len(chars), 12, replace=False),
+                        reverse=True):
+            del chars[k]
+        s_var = "".join(rng.choice(list(AAs)) if rng.rand() < 0.1 else c
+                        for c in chars)
+        cg2 = _merged(s_long, s_var, m)
+        assert cg2.size > 128 + 2, "fixture must exceed one lane tile"
+        g1 = _chain("".join(rng.choice(list(AAs), 13)))
+        _assert_same(g1, cg2, m)
+
+
 def test_kernel_repeat_edges_bail():
     # graphs with repeat edges still fill correctly; a backtrack that takes
     # a repeat edge returns None (host fallback handles it)

@@ -58,6 +58,15 @@ def _emit_block(out, width, start, end, msa):
     out.append("\n**********************\n\n")
 
 
+def _next(lines):
+    """next() with a diagnostic instead of a bare StopIteration on
+    truncated/malformed TRUST output (ADVICE r4)."""
+    line = next(lines, None)
+    if line is None:
+        raise ValueError("TRUST output truncated: unexpected end of input")
+    return line
+
+
 def convert_trust_output(text: str, namemap) -> str:
     """TRUST stdout -> T-Reks formatted text (pure; no subprocess)."""
     out = []
@@ -67,7 +76,7 @@ def convert_trust_output(text: str, namemap) -> str:
             alias = line[1:].strip()
             out.append(">%s\n" % namemap.get(alias, alias))
         elif line.startswith("# START LENGTH"):
-            first = next(lines).split()
+            first = _next(lines).split()
             starts = [int(first[0])]
             lengths = [int(first[1])]
             for line in lines:
@@ -78,8 +87,8 @@ def convert_trust_output(text: str, namemap) -> str:
                 lengths.append(int(parts[1]))
             # skip to the first aligned unit ('>' header then unit line)
             while not line.startswith(">"):
-                line = next(lines)
-            unit = next(lines).strip().upper()
+                line = _next(lines)
+            unit = _next(lines).strip().upper()
             width = len(unit)
             msa = [unit]
             start = starts[0]
@@ -93,13 +102,16 @@ def convert_trust_output(text: str, namemap) -> str:
                     if i == len(starts):
                         break
                     msa = []
+                    width = None     # a new run may use a new unit width
                     start = starts[i]
-                line = next(lines)
+                line = _next(lines)
                 if not line.startswith(">"):
                     raise ValueError("TRUST output: expected unit header, "
                                      "got %r" % line)
-                unit = next(lines).strip().upper()
-                if len(unit) != width:
+                unit = _next(lines).strip().upper()
+                if width is None:
+                    width = len(unit)
+                elif len(unit) != width:
                     raise ValueError("TRUST output: unit width mismatch")
                 msa.append(unit)
     return "".join(out)
