@@ -110,11 +110,16 @@ def main():
     walls, refs = _interleaved(
         lambda: do_align(seqs, opts_fixed),
         [REF_BIN, "--fasta", "-t", TREE, "-o", "/dev/null", FIXTURE],
-        rounds=7)   # sub-200ms walls on a noisy box: more rounds -> stabler min
+        rounds=11)  # sub-200ms walls on a noisy box: more rounds -> stabler min
     detail["fixed_e2e_first_s"] = round(walls[0], 4)
     detail["fixed_e2e_wall_s"] = round(min(walls), 4)
     ref_fixed = min(refs)
     detail["fixed_ref_wall_s"] = round(ref_fixed, 4)
+    # per-round walls (measurement order) so the sign's stability over the
+    # box's 20-50% load noise is auditable, plus the per-round ratio wins
+    detail["fixed_rounds_ours_s"] = [round(w, 4) for w in walls]
+    detail["fixed_rounds_ref_s"] = [round(w, 4) for w in refs]
+    detail["fixed_rounds_won"] = sum(1 for o, r in zip(walls, refs) if o < r)
 
     ref = subprocess.run([REF_BIN, "--fasta", "-t", TREE, FIXTURE],
                          check=True, capture_output=True, text=True)
@@ -132,11 +137,14 @@ def main():
 
     walls, refs = _interleaved(
         _free, [REF_BIN, "--mldist", "--nwdist", "--fasta",
-                "-o", "/dev/null", FIXTURE], rounds=3)
+                "-o", "/dev/null", FIXTURE], rounds=5)
     detail["free_e2e_first_s"] = round(walls[0], 4)
     detail["free_e2e_wall_s"] = round(min(walls), 4)
     ref_free = min(refs)
     detail["free_ref_wall_s"] = round(ref_free, 4)
+    detail["free_rounds_ours_s"] = [round(w, 4) for w in walls]
+    detail["free_rounds_ref_s"] = [round(w, 4) for w in refs]
+    detail["free_rounds_won"] = sum(1 for o, r in zip(walls, refs) if o < r)
 
     ref = subprocess.run([REF_BIN, "--mldist", "--nwdist", "--fasta",
                           FIXTURE], check=True, capture_output=True,

@@ -287,8 +287,10 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
 
     # single-device async pipeline: dispatch every chunk before fetching any
     from ..engine_policy import use_device_nw
+    on_device = use_device_nw(options, n_pairs=len(pairs), L=L1,
+                              dim=spec.DIM)
     dispatched = [None] * len(chunks)
-    if not host_backtrack and use_device_nw(options):
+    if not host_backtrack and on_device:
         try:
             import jax
             if len(jax.devices()) == 1:
@@ -304,7 +306,7 @@ def compute_nw_distances(spec, seqs: Dict[str, np.ndarray], order: List[str],
     for c, (chunk, s1b, s2b, l1, l2) in enumerate(chunks):
         native_res = None
         if (dispatched[c] is None and not host_backtrack
-                and not use_device_nw(options)
+                and not on_device
                 and options.engine in ("auto", "native")):
             from .. import native
             native_res = native.nw_counts_native(s1b, s2b, l1, l2, scoring,

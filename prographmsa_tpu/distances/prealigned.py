@@ -49,6 +49,46 @@ def _pair_stats(vals1, gap1, vals2, gap2, dim, count_bound):
     return counts, gaps
 
 
+def _pair_stats_batch_host(vmat, gmat, pi, pj, dim, count_bound):
+    """_pair_stats over ALL pairs at once (same counts/gap semantics).
+
+    Counts: one flat bincount of per-pair-offset column codes.  Gap
+    openings: the reference's per-column state machine (Prealigned.h:61-80)
+    expressed as a forward fill — both-gap columns are transparent, and a
+    run opens where a column's state differs from the previous
+    non-transparent column's state."""
+    cb = count_bound
+    v1 = vmat[pi]
+    v2 = vmat[pj]
+    g1 = gmat[pi]
+    g2 = gmat[pj]
+    P, L = v1.shape
+    both_res = ~g1 & ~g2
+    ok = (both_res & (v1 >= 0) & (v1 < cb) & (v2 >= 0) & (v2 < cb))
+    base = np.arange(P, dtype=np.int64)[:, None] * (cb * cb)
+    code = v1.astype(np.int64) * cb + v2.astype(np.int64) + base
+    counts = np.bincount(code[ok], minlength=P * cb * cb)
+    counts = counts.reshape(P, cb, cb)
+    if cb < dim:
+        full = np.zeros((P, dim, dim), dtype=counts.dtype)
+        full[:, :cb, :cb] = counts
+        counts = full
+
+    state = np.where(both_res, 0, np.where(g1 & g2, 1,
+                     np.where(~g1, 2, 3)))
+    nt = state != 1
+    col = np.arange(L, dtype=np.int64)[None, :]
+    prev_idx = np.maximum.accumulate(np.where(nt, col, -1), axis=1)
+    prev_idx = np.concatenate(
+        [np.full((P, 1), -1, np.int64), prev_idx[:, :-1]], axis=1)
+    prev_state = np.where(
+        prev_idx >= 0,
+        np.take_along_axis(state, np.maximum(prev_idx, 0), axis=1), 0)
+    opens = nt & (((state == 2) & (prev_state != 2))
+                  | ((state == 3) & (prev_state != 3)))
+    return counts, opens.sum(axis=1).astype(np.int64)
+
+
 def compute_prealigned_distances(spec, seqs: Dict[str, np.ndarray],
                                  order: List[str], factory, options):
     n = len(order)
@@ -69,7 +109,9 @@ def compute_prealigned_distances(spec, seqs: Dict[str, np.ndarray],
 
     counts_b = gaps_b = None
     from ..engine_policy import use_device_prealigned
-    if use_device_prealigned(options) and pairs:
+    Lmsa = max((len(vals[name]) for name in order), default=0)
+    if pairs and use_device_prealigned(options, n_pairs=len(pairs), L=Lmsa,
+                                       count_bound=count_bound):
         import sys
         try:
             from .prealigned_device import pair_stats_device
@@ -83,6 +125,16 @@ def compute_prealigned_distances(spec, seqs: Dict[str, np.ndarray],
             print("warning: device prealigned stats failed (%r); "
                   "recomputing on host" % (e,), file=sys.stderr)
             counts_b = gaps_b = None
+    if counts_b is None and len(pairs) > 8:
+        # vectorized host path: ONE bincount over all pairs' column codes
+        # plus a forward-filled gap-state scan — replaces the O(N²) Python
+        # pair loop (measured ~10x on the fam100 iteration-2/3 stages)
+        vmat = np.stack([vals[name] for name in order])
+        gmat = np.stack([gapm[name] for name in order])
+        pi = np.fromiter((i for i, _ in pairs), np.intp, len(pairs))
+        pj = np.fromiter((j for _, j in pairs), np.intp, len(pairs))
+        counts_b, gaps_b = _pair_stats_batch_host(vmat, gmat, pi, pj,
+                                                  spec.DIM, count_bound)
     if counts_b is None:
         counts_b = np.zeros((len(pairs), spec.DIM, spec.DIM), dtype=np.int64)
         gaps_b = np.zeros(len(pairs), dtype=np.int64)

@@ -44,16 +44,43 @@ def on_tpu() -> bool:
     return device_backend() == "tpu"
 
 
-def use_device_nw(options) -> bool:
-    """All-pairs NW distances on device?  One fused fill+backtrack launch
-    per 2048-pair chunk (distances/nw_device.py), measured at 275 M cells/s
-    vs the reference binary's 138 M upper bound on this chip."""
+NW_DEVICE_RATE = 550e6       # device-resident NW fill+backtrack cells/s
+NW_NATIVE_RATE = 240e6       # native NW cells/s PER CORE (-march=native)
+FETCH_COMPRESS = 4.0         # tunnel fetches compress sparse count arrays
+                             # ~4x vs the random-data fetch_mbps probe
+
+
+def _host_threads() -> int:
+    from . import native
+    return native.n_threads()
+
+
+def use_device_nw(options, n_pairs: int = 0, L: int = 0,
+                  dim: int = 20) -> bool:
+    """All-pairs NW distances on device?  Under ``auto`` the call is routed
+    by a cost model over the probed calibration: device cost = resident
+    fill rate + per-chunk dispatch roundtrips + the counts fetch; native
+    cost = cells over the threaded host rate.  On the axon tunnel
+    (roundtrip ~25 ms, fetch ~15 MB/s) mid-sized batches route native; on
+    a directly-attached host the same formula routes device.  Unknown
+    workload (n_pairs=0) keeps the device default."""
     eng = getattr(options, "engine", "auto")
     if eng in ("device", "pallas"):
         return True
     if eng in ("native", "numpy"):
         return False
-    return on_tpu()
+    if not on_tpu():
+        return False
+    if not n_pairs:
+        return True
+    c = calibration()
+    cells = float(n_pairs) * L * L
+    nchunks = max(1, (n_pairs + 2047) // 2048)
+    fetch_mb = n_pairs * (dim * dim * 8.0 + 4.0) / 1e6
+    dev = (cells / NW_DEVICE_RATE + nchunks * 4.0 * c["roundtrip_s"]
+           + fetch_mb / (c["fetch_mbps"] * FETCH_COMPRESS))
+    nat = cells / (NW_NATIVE_RATE * _host_threads())
+    return dev < nat
 
 
 def use_device_angle(options) -> bool:
@@ -66,17 +93,32 @@ def use_device_angle(options) -> bool:
     return getattr(options, "engine", "auto") in ("device", "pallas")
 
 
-def use_device_prealigned(options) -> bool:
+def use_device_prealigned(options, n_pairs: int = 0, L: int = 0,
+                          count_bound: int = 20) -> bool:
     """Prealigned pair statistics on device?  The counts GEMM is exact
     (0/1 bf16 operands, f32 accumulate) and gap openings are an int scan,
-    so unlike the f64 stages this one loses no rounding parity; one ~MB
-    fetch replaces the O(N² L) host pair loop."""
+    so unlike the f64 stages this one loses no rounding parity.  Under
+    ``auto`` the same probed cost model as NW applies: the vectorized host
+    batch scan (one bincount over all pairs) costs ~30 vector ops per
+    column, and the device pays the roundtrips plus the counts fetch —
+    which on the tunnel outweighs the host scan for fixture-scale inputs,
+    while a direct-attached host routes device."""
     eng = getattr(options, "engine", "auto")
     if eng in ("device", "pallas"):
         return True
     if eng in ("native", "numpy"):
         return False
-    return on_tpu()
+    if not on_tpu():
+        return False
+    if not n_pairs:
+        return True
+    c = calibration()
+    fetch_mb = n_pairs * (count_bound * count_bound * 2.0 + 8.0) / 1e6
+    dev = (4.0 * c["roundtrip_s"]
+           + fetch_mb / (c["fetch_mbps"] * FETCH_COMPRESS)
+           + float(n_pairs) * L / 2e9)
+    host = float(n_pairs) * L * 30.0 / 1e9
+    return dev < host
 
 
 @functools.lru_cache(maxsize=1)
