@@ -221,7 +221,35 @@ def compute_distances_batch(counts: np.ndarray, gaps: np.ndarray,
                             alphabet_name: str):
     """Batched ``compute_distance`` (DistanceFactoryML.h:139-190) over all
     pairs at once: [B, DIM, DIM] counts -> (dist [B], var [B]), bit-identical
-    per lane to the scalar function."""
+    per lane to the scalar function.  Large batches shard across host cores
+    (every lane is independent and numpy's dgemm/ufunc inner loops release
+    the GIL, so per-lane arithmetic — and hence results — are unchanged)."""
+    B = counts.shape[0]
+    from .. import native
+    nt = native.n_threads()
+    if B >= 512 and nt > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = np.linspace(0, B, nt + 1).astype(int)
+        outs = [None] * nt
+
+        def run(k):
+            lo, hi = bounds[k], bounds[k + 1]
+            outs[k] = _distances_batch_impl(
+                counts[lo:hi], gaps[lo:hi], seqlens[lo:hi], factory,
+                options, alphabet_name)
+
+        with ThreadPoolExecutor(nt) as ex:
+            list(ex.map(run, range(nt)))
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
+    return _distances_batch_impl(counts, gaps, seqlens, factory, options,
+                                 alphabet_name)
+
+
+def _distances_batch_impl(counts: np.ndarray, gaps: np.ndarray,
+                          seqlens: np.ndarray, factory, options,
+                          alphabet_name: str):
     c = counts.astype(np.float64)
     ident = np.trace(c, axis1=1, axis2=2)
     total = c.sum(axis=(1, 2))
