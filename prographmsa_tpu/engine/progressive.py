@@ -95,14 +95,25 @@ def align_graphs(g1: Graph, g2: Graph, model, options,
 
 def extend_alignment(result, mapping, aligned_sequences, gap_code):
     """Gap-extend descendant sequences through the merged graph
-    (ProgressiveAlignment.h:245-264)."""
+    (ProgressiveAlignment.h:245-264).  One stacked scatter for the whole
+    sequence set (a deep node carries ~N sequences; per-name loops were a
+    measurable slice of the fixed-tree wall)."""
     n = result.graph.size
     hit = np.asarray(mapping[1:n - 1]) != -1
     k = int(np.count_nonzero(hit))   # trailing originals beyond the last
-    for name, original in aligned_sequences.items():   # mapped column drop
+    names = list(aligned_sequences)  # mapped column drop
+    if not names:
+        return
+    if len(names) == 1:
+        original = aligned_sequences[names[0]]
         extended = np.full(n - 2, gap_code, dtype=np.int16)
         extended[hit] = original[:k]
-        result.aligned_sequences[name] = extended
+        result.aligned_sequences[names[0]] = extended
+        return
+    block = np.full((len(names), n - 2), gap_code, dtype=np.int16)
+    block[:, hit] = np.stack([aligned_sequences[nm][:k] for nm in names])
+    for r, nm in enumerate(names):
+        result.aligned_sequences[nm] = block[r]
 
 
 def extend_tr_homologies(result, mapping, tr_homologies, tr_source):

@@ -183,29 +183,63 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
       }
     }
   } else {
+    // General multi-predecessor path, restructured from per-cell pred-pair
+    // loops into ROW-VECTORIZED slot passes: for each row y, every
+    // (y-pred i) contributes one branch-free sweep over x for the Y
+    // candidates and one sweep per x-slot j for the M candidates; the X/W
+    // chain stays a serial per-row pass (loop-carried through x).  Every
+    // candidate value is computed with the identical float op sequence as
+    // the per-cell loop — only the MAX ACCUMULATION ORDER differs, and
+    // float max is exact (order-insensitive), so results are bit-identical
+    // (asserted by tests/test_native.py).  Padded x-slots are sanitized
+    // once (idx -> 0, cost -> +inf): their candidates evaluate to -inf
+    // instead of branching, which lets the compiler vectorize the sweeps.
+    std::vector<int32_t> x_idx((size_t)n2 * e2, 0);
+    std::vector<float> x_cost((size_t)n2 * e2, INFINITY);
+    for (int32_t x = 1; x <= n2 - 2; ++x) {
+      for (int32_t j = 0; j < e2; ++j) {
+        size_t sidx = (size_t)x * e2 + j;
+        int32_t xp = idx2[sidx];
+        x_idx[sidx] = xp < 0 ? 0 : xp;
+        x_cost[sidx] = xp < 0 ? INFINITY : cost2[sidx];
+      }
+    }
     for (int32_t y = 1; y <= n1 - 2; ++y) {
+      float* __restrict My = M + (int64_t)y * n2;
+      float* __restrict Xy = X + (int64_t)y * n2;
+      float* __restrict Yy = Y + (int64_t)y * n2;
+      float* __restrict Wy = W + (int64_t)y * n2;
+      const float* __restrict Sy = S + (int64_t)y * n2;
       for (int32_t x = 1; x <= n2 - 2; ++x) {
-        const float s = IDX(S, y, x);
-        float m = NEG_INF, sx = NEG_INF, sy = NEG_INF;
-        for (int32_t i = s1[y]; i < s1[y + 1]; ++i) {
-          int32_t yp = p1[i];
-          float cy = c1v[i];
-          sy = maxc(sy, maxc(IDX(Y, yp, x) + ge, IDX(W, yp, x) + gi) - cy);
-          const float* wrow = W + (int64_t)yp * n2;
-          for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
-            float t = ((wrow[p2[j]] + s) - cy) - c2v[j];
-            m = maxc(m, t);
+        My[x] = NEG_INF;
+        Yy[x] = NEG_INF;
+      }
+      for (int32_t i = s1[y]; i < s1[y + 1]; ++i) {
+        const int32_t yp = p1[i];
+        const float cy = c1v[i];
+        const float* __restrict Wp = W + (int64_t)yp * n2;
+        const float* __restrict Yp = Y + (int64_t)yp * n2;
+        for (int32_t x = 1; x <= n2 - 2; ++x)
+          Yy[x] = maxc(Yy[x], maxc(Yp[x] + ge, Wp[x] + gi) - cy);
+        for (int32_t j = 0; j < e2; ++j) {
+          const int32_t* __restrict xi = x_idx.data() + j;
+          const float* __restrict xc = x_cost.data() + j;
+          for (int32_t x = 1; x <= n2 - 2; ++x) {
+            const float cand =
+                ((Wp[xi[(size_t)x * e2]] + Sy[x]) - cy) - xc[(size_t)x * e2];
+            My[x] = maxc(My[x], cand);
           }
         }
+      }
+      for (int32_t x = 1; x <= n2 - 2; ++x) {
+        float sx = NEG_INF;
         for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
           int32_t xp = p2[j];
           float cx = c2v[j];
-          sx = maxc(sx, maxc(IDX(X, y, xp) + ge, IDX(W, y, xp) + gi) - cx);
+          sx = maxc(sx, maxc(Xy[xp] + ge, Wy[xp] + gi) - cx);
         }
-        IDX(M, y, x) = m;
-        IDX(X, y, x) = sx;
-        IDX(Y, y, x) = sy;
-        IDX(W, y, x) = maxc(m, maxc(sx, sy));
+        Xy[x] = sx;
+        Wy[x] = maxc(My[x], maxc(sx, Yy[x]));
       }
     }
   }
