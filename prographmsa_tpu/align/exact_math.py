@@ -33,8 +33,14 @@ _NAN_BITS = np.uint32(0xFFC00000)     # numpy x86 0/0 quiet-NaN (sign set);
                                       # the exact pattern is parity-relevant
 
 
-def _mk(jnp):
-    """Build the jnp implementation once (shared by jit traces)."""
+def _mk(jnp, barrier: bool = True):
+    """Build the jnp implementation once (shared by jit traces).
+
+    ``barrier=False`` drops the optimization barriers around products —
+    required inside Pallas TPU kernels (Mosaic does not lower
+    optimization_barrier, and it also never FMA-contracts, so the barrier
+    is unnecessary there; bitwise parity is asserted on-chip by
+    tests/test_scores_pallas.py)."""
     f32 = jnp.float32
 
     def fmul(a, b):
@@ -42,6 +48,8 @@ def _mk(jnp):
         # into FMA (skipping the intermediate rounding this algorithm
         # depends on); the barrier pins the product as a rounded value.
         # XLA:TPU never contracts (probed), so this is free there.
+        if not barrier:
+            return a * b
         return jax_lax.optimization_barrier(a * b)
 
     def split(a):
@@ -137,6 +145,18 @@ def exact_div(x, y):
         jax_lax = lax
         _jnp_impl = _mk(jnp)
     return _jnp_impl(x, y)
+
+
+def exact_div_fn(barrier: bool = True):
+    """The jnp exact-div callable itself — for embedding in Pallas TPU
+    kernels, which need ``barrier=False`` (Mosaic neither lowers
+    optimization_barrier nor FMA-contracts)."""
+    global jax_lax
+    if jax_lax is None:
+        import jax.lax as lax
+        jax_lax = lax
+    import jax.numpy as jnp
+    return _mk(jnp, barrier)
 
 
 # ---------------------------------------------------------------------------

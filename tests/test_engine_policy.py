@@ -49,6 +49,36 @@ def test_calibration_persists(tmp_path, monkeypatch):
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
     pre = {"roundtrip_s": 0.007, "fetch_mbps": 99.0, "backend": "test"}
     (tmp_path / "pallas_calib.json").write_text(json.dumps(pre))
+    # spot-check agrees (within 3x) -> persisted values are trusted
+    monkeypatch.setattr(EP, "_probe_roundtrip", lambda reps=5: 0.01)
+    EP.calibration.cache_clear()
+    assert EP.calibration() == pre
+    EP.calibration.cache_clear()
+
+
+def test_calibration_reprobes_bad_persist(tmp_path, monkeypatch):
+    # VERDICT r4 #10: a persisted unlucky probe (e.g. a 25x-too-slow
+    # roundtrip captured during a load spike) must be detected by the
+    # spot-check and corrected by a full re-probe, not trusted forever.
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    bad = {"roundtrip_s": 0.4, "fetch_mbps": 2.0, "backend": "test"}
+    (tmp_path / "pallas_calib.json").write_text(json.dumps(bad))
+    fresh = {"roundtrip_s": 0.003, "fetch_mbps": 120.0, "backend": "test"}
+    monkeypatch.setattr(EP, "_probe_roundtrip", lambda reps=5: 0.003)
+    monkeypatch.setattr(EP, "_probe_all", lambda: dict(fresh))
+    EP.calibration.cache_clear()
+    assert EP.calibration() == fresh
+    # and the corrected values were persisted back
+    assert json.loads((tmp_path / "pallas_calib.json").read_text()) == fresh
+    EP.calibration.cache_clear()
+
+
+def test_calibration_spotcheck_unavailable_keeps_persisted(tmp_path,
+                                                           monkeypatch):
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    pre = {"roundtrip_s": 0.007, "fetch_mbps": 99.0, "backend": "test"}
+    (tmp_path / "pallas_calib.json").write_text(json.dumps(pre))
+    monkeypatch.setattr(EP, "_probe_roundtrip", lambda reps=5: None)
     EP.calibration.cache_clear()
     assert EP.calibration() == pre
     EP.calibration.cache_clear()
