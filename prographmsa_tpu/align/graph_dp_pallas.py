@@ -42,12 +42,18 @@ decision with gather storms):
       end-node predecessors; the kernel streams the last <=128 diagonals
       of M/X/Y to small tail planes and the chase replays the end argmin
       (including Wend itself) from those.
-  A step that selects a repeat edge still bails to the host
-  (markAlternativePath, GraphAlign.h:166-198): per-(node, offset-bucket)
+  A step that selects a repeat edge no longer bails the pair (round 5):
+  the chase RECORDS the event — (side, next-node, cur-node, emit
+  position) into a fixed-capacity per-pair buffer — and walks on; the
+  harvest replays markAlternativePath (GraphAlign.h:166-198) on the host
+  for just those events and splices the skipped-unit columns into the
+  device mapping at the recorded positions (the host appends them at
+  exactly those points of its own walk).  Per-(node, offset-bucket)
   "min cost is strictly a repeat edge" bits are host-precomputed.  A cost
   TIE between a repeat and a normal edge resolves to the normal edge and
-  does NOT bail — matching the host, whose PredIterator visits normal
-  edges before repeats so ties pick the normal edge there too.
+  records nothing — matching the host, whose PredIterator visits normal
+  edges before repeats so ties pick the normal edge there too.  Pairs
+  with more than EV_CAP events fall back to the host (fb_rep).
 
 Hardware facts this design encodes (probed on the axon-tunneled v5e):
 dynamic sublane *writes* and dynamic DMA offsets lower; dynamic sublane
@@ -74,12 +80,23 @@ ST_M, ST_X, ST_Y = 0, 1, 2       # states, as in align/backtrack.py
 ST_W = 3                         # chase-internal: resolve from wstate
 
 MAX_N = 4096                     # per-side node cap (HBM plane budget)
-MAX_OFF = 16                     # offset-slot cap (static unroll budget)
+MAX_OFF = 64                     # offset-slot cap (largest tier's op)
 
 # tiers: (op = offset slots per side, R = ring slots); a pair needs the
-# smallest tier with op >= max(nlen1, nlen2) and R >= reach + 2
-TIERS = ((2, 8), (4, 16), (8, 64), (16, 128))
+# smallest tier with op >= max(nlen1, nlen2) and R >= reach + 2.
+# The op >= 32 tiers are SINGLE-PAIR tiers (round 5, for repeat-heavy
+# merged graphs whose unit-skip offsets multiply): all 8 sublanes carry
+# the same pair, the slot loops run as dynamic fori over the real slot
+# count, and decision codes widen to 6-bit fields.
+TIERS = ((2, 8), (4, 16), (8, 64), (16, 128), (32, 256), (64, 256))
+SINGLE_OP = 32                   # op >= SINGLE_OP -> single-pair tier
 GROUP_SPREAD = 40                # max diag spread within a group of 8
+
+
+def _shb(op: int) -> int:
+    """Decision-code slot-field width: 4-bit i/j fields for op <= 16
+    (the round-4 layout), 6-bit for the big single-pair tiers."""
+    return 4 if op <= 16 else 6
 
 
 def _tcap(R: int) -> int:
@@ -88,6 +105,7 @@ def _tcap(R: int) -> int:
     return R + 64
 
 META_SCORE, META_LEN, META_FAIL = 0, 1, 2
+EV_CAP = 8                       # repeat events per pair before host bail
 
 # ---------------------------------------------------------------------------
 # fallback observability (VERDICT r3 #6): every pair that leaves the device
@@ -111,48 +129,61 @@ def reset_fallback_stats():
 
 
 def _offset_costs_rep(graph, scores, max_offsets: int):
-    """Offset-bucket costs with repeat bits.
+    """Offset-slot costs with repeat flags, in PredIterator candidate order.
 
-    Returns (offsets [m] i32 ascending, C [n, m] f32, rep [n, m] bool) or
-    None if the graph has more than ``max_offsets`` distinct predecessor
-    offsets.  C[i, k] = min cost over edges i -> i-offsets[k] (PredIterator
-    costs: normal edges as stored, repeat edges repeat_init +
+    Returns (offsets [m] i32, C [n, m] f32, rep [n, m] bool) or None if
+    the graph needs more than ``max_offsets`` slots.  Slots are SPLIT BY
+    KIND: repeat-edge offsets (ascending) occupy the front of the array,
+    normal-edge offsets (ascending) the back.  The fill and the chase both
+    walk slots from the BACK of the array forward, so candidates are
+    visited normal-desc-offset (= ascending predecessor index) THEN
+    repeat-desc-offset — exactly the host PredIterator's
+    normals-before-repeats order (Graph.h:180-248).  This makes
+    cross-kind cost TIES resolve to the normal edge like the host (a
+    same-offset min over both kinds, as in rounds 3-4, mis-ordered
+    repeat-slot candidates against lower-offset normal slots on ties —
+    caught by the rep8 fixtures in round 5).
+
+    C[i, k] = min cost over same-kind edges i -> i-offsets[k]
+    (normal edges as stored; repeat edges repeat_init +
     repeat_ext*(units-1), NaN (inf*0) => unreachable); rep[i, k] is True
-    iff that min is achieved ONLY by a repeat edge (a chase step through
-    such a bucket must bail to the host for markAlternativePath)."""
+    iff slot k is a repeat slot with a real edge into node i (the chase
+    records a markAlternativePath event when it steps through one)."""
     n = graph.size
-    offsets = set()
+    off_n, off_r = set(), set()
     for i in range(n):
         for p, _ in graph.preds[i]:
-            offsets.add(i - p)
+            off_n.add(i - p)
         for p, _ in graph.reps[i]:
-            offsets.add(i - p)
-    offsets = sorted(offsets)
-    if len(offsets) > max_offsets:
+            off_r.add(i - p)
+    off_n = sorted(off_n)
+    off_r = sorted(off_r)
+    slots = off_r + off_n
+    if len(slots) > max_offsets:
         return None
-    omap = {o: k for k, o in enumerate(offsets)}
-    m = max(1, len(offsets))
-    Cn = np.full((n, m), np.inf, dtype=np.float32)   # min normal cost
-    Cr = np.full((n, m), np.inf, dtype=np.float32)   # min repeat cost
+    m = max(1, len(slots))
+    C = np.full((n, m), np.inf, dtype=np.float32)
+    rep = np.zeros((n, m), dtype=bool)
+    nmap = {o: len(off_r) + k for k, o in enumerate(off_n)}
+    rmap = {o: k for k, o in enumerate(off_r)}
     ri = np.float32(scores.repeat_init)
     re = np.float32(scores.repeat_ext)
     for i in range(n):
         for p, c in graph.preds[i]:
-            k = omap[i - p]
+            k = nmap[i - p]
             c32 = np.float32(c)
-            if c32 < Cn[i, k]:
-                Cn[i, k] = c32
+            if c32 < C[i, k]:
+                C[i, k] = c32
         for p, u in graph.reps[i]:
-            k = omap[i - p]
+            k = rmap[i - p]
             with np.errstate(invalid="ignore"):
                 rc = np.float32(ri + re * np.float32(u - 1))
             if np.isnan(rc):
                 continue                     # NaN cost: never chosen
-            if rc < Cr[i, k]:
-                Cr[i, k] = rc
-    C = np.minimum(Cn, Cr)
-    rep = Cr < Cn                            # strict: ties go to the normal
-    return (np.array(offsets, dtype=np.int32) if offsets
+            if rc < C[i, k]:
+                C[i, k] = rc
+            rep[i, k] = True
+    return (np.array(slots, dtype=np.int32) if slots
             else np.array([1], dtype=np.int32)), C, rep
 
 
@@ -202,6 +233,9 @@ def _prep_pair(idx, g1, g2, model, scores):
             break
     if tier is None:
         return "fb_reach"
+    if TIERS[tier][1] >= 256 and max(info.n1, info.n2) > 2048:
+        # R=256 ring scratch at n1p > 2048 exceeds the VMEM budget
+        return "fb_size"
     info.tier = tier
     return info
 
@@ -221,6 +255,8 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
     NB = max(1, (R - 1).bit_length())    # lane-shift bits (offsets < R)
     RT = max(1, R // 8)                  # ring chunks (two-level select)
     TCAP = _tcap(R)
+    SHB = _shb(op)                       # code slot-field width
+    single = op >= SINGLE_OP             # single-pair tier (one pair/group)
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -319,20 +355,30 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
             return lambda f: f()
 
         def _fill_one(d, Sd, C2ins):
-            """One diagonal.  Sd (8, n1p): S row of diag d; C2ins (8, op):
-            C2 costs of edges into node x = d (per pair, per slot)."""
+            """One diagonal.  Sd (8, n1p): S row of diag d; C2ins (8, op)
+            ((op, 128) in single mode): C2 costs of edges into node x = d
+            (per pair, per slot)."""
             xs = d - ys
             slot = jax.lax.rem(d, R)
 
             # C2 window roll: C2w[j][s, y] = C2 cost into node (d - y) at
             # offset slot j — a lane roll + head insert per diagonal
             # replaces round 3's O(D*o2p*n1p) sheared HBM array
-            for j in range(op):
-                @when_slot(j < nlen2max)
-                def _(j=j):
-                    ins = C2ins[:, j:j + 1]
-                    C2w_ref[j] = jnp.where(ys == 0, ins,
-                                           pltpu.roll(C2w_ref[j], 1, axis=1))
+            if single:
+                # one bulk 3D roll of every slot (all sublanes carry the
+                # same pair, so the insert broadcasts over sublanes)
+                ins3 = C2ins[:, 0:1][:, :, None]          # (op, 1, 1)
+                ys3 = jax.lax.broadcasted_iota(i32, (1, 1, n1p), 2)
+                C2w_ref[:] = jnp.where(ys3 == 0, ins3,
+                                       pltpu.roll(C2w_ref[:], 1, axis=2))
+            else:
+                for j in range(op):
+                    @when_slot(j < nlen2max)
+                    def _(j=j):
+                        ins = C2ins[:, j:j + 1]
+                        C2w_ref[j] = jnp.where(ys == 0, ins,
+                                               pltpu.roll(C2w_ref[j], 1,
+                                                          axis=1))
 
             accV[IY] = jnp.full((8, n1p), FLOOR)
             accV[IYB] = jnp.full((8, n1p), FLOOR)
@@ -343,35 +389,55 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
             accC[CX] = jnp.zeros((8, n1p), i32)
             accC[CM] = jnp.zeros((8, n1p), i32)
 
-            # g1-offset slots in DESCENDING offset order = ascending
-            # predecessor index = PredIterator order (tie-break parity)
-            for i in reversed(range(op)):
-                @when_slot(i < nlen1max)
-                def _(i=i):
-                    o1i = O1v[:, i:i + 1]
-                    ci = C1T_ref[0][i]
+            # g1-offset slots in DESCENDING slot order = PredIterator
+            # candidate order (normal desc-offset then repeat desc-offset
+            # with the kind-split slot arrays; tie-break parity)
+            if single:
+                def y_body(ii, c0):
+                    i = nlen1max - 1 - ii
+                    o1i = o_smem(0, i)
+                    ci = C1T_ref[0, pl.ds(i, 1)][0]
                     ki = jax.lax.rem(d - o1i + R, R)
                     vi = d - o1i >= 0
                     w_sh = shift_rows(ring_read(ringW, ki, vi), o1i)
                     y_sh = shift_rows(ring_read(ringY, ki, vi), o1i)
                     t_ge = y_sh + ge
-                    # Y candidates in per-edge order: Y-move then W-move
                     acc_cand(IY, CY, t_ge - ci, (i << 1) | 0)
                     acc_cand(IY, CY, (w_sh + gi) - ci, (i << 1) | 1)
                     accV[IYB] = jnp.fmax(accV[IYB],
                                          jnp.fmax(t_ge, w_sh + sg) - ci)
-                    if op < 8:
-                        for j in reversed(range(op)):
-                            @when_slot(j < nlen2max)
-                            def _(i=i, j=j, o1i=o1i, ci=ci):
-                                o2j = O2v[:, j:j + 1]
-                                kij = jax.lax.rem(d - o1i - o2j + 2 * R, R)
-                                vij = d - o1i - o2j >= 0
-                                w2 = shift_rows(ring_read(ringW, kij, vij),
-                                                o1i)
-                                acc_cand(IM, CM,
-                                         ((w2 + Sd) - ci) - C2w_ref[j],
-                                         (i << 4) | j)
+                    return c0
+
+                jax.lax.fori_loop(0, nlen1max, y_body, 0)
+            else:
+                for i in reversed(range(op)):
+                    @when_slot(i < nlen1max)
+                    def _(i=i):
+                        o1i = O1v[:, i:i + 1]
+                        ci = C1T_ref[0][i]
+                        ki = jax.lax.rem(d - o1i + R, R)
+                        vi = d - o1i >= 0
+                        w_sh = shift_rows(ring_read(ringW, ki, vi), o1i)
+                        y_sh = shift_rows(ring_read(ringY, ki, vi), o1i)
+                        t_ge = y_sh + ge
+                        # Y candidates in per-edge order: Y then W move
+                        acc_cand(IY, CY, t_ge - ci, (i << 1) | 0)
+                        acc_cand(IY, CY, (w_sh + gi) - ci, (i << 1) | 1)
+                        accV[IYB] = jnp.fmax(accV[IYB],
+                                             jnp.fmax(t_ge, w_sh + sg) - ci)
+                        if op < 8:
+                            for j in reversed(range(op)):
+                                @when_slot(j < nlen2max)
+                                def _(i=i, j=j, o1i=o1i, ci=ci):
+                                    o2j = O2v[:, j:j + 1]
+                                    kij = jax.lax.rem(d - o1i - o2j
+                                                      + 2 * R, R)
+                                    vij = d - o1i - o2j >= 0
+                                    w2 = shift_rows(
+                                        ring_read(ringW, kij, vij), o1i)
+                                    acc_cand(IM, CM,
+                                             ((w2 + Sd) - ci) - C2w_ref[j],
+                                             (i << SHB) | j)
 
             if op >= 8:
                 # M accumulation as nested fori over the REAL slot counts:
@@ -392,7 +458,7 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
                         w2 = shift_rows(ring_read(ringW, kij, vij), o1i)
                         cj = C2w_ref[pl.ds(j, 1)][0]
                         acc_cand(IM, CM, ((w2 + Sd) - ci) - cj,
-                                 (i << 4) | j)
+                                 (i << SHB) | j)
                         return c1
 
                     jax.lax.fori_loop(0, nlen2max, m_inner, 0)
@@ -400,11 +466,11 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
 
                 jax.lax.fori_loop(0, nlen1max, m_outer, 0)
 
-            for j in reversed(range(op)):
-                @when_slot(j < nlen2max)
-                def _(j=j):
-                    o2j = O2v[:, j:j + 1]
-                    cj = C2w_ref[j]
+            if single:
+                def x_body(jj, c0):
+                    j = nlen2max - 1 - jj
+                    o2j = o_smem(1, j)
+                    cj = C2w_ref[pl.ds(j, 1)][0]
                     kj = jax.lax.rem(d - o2j + R, R)
                     vj = d - o2j >= 0
                     xj = ring_read(ringX, kj, vj)
@@ -414,6 +480,24 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
                     acc_cand(IX, CX, (wj + gi) - cj, (j << 1) | 1)
                     accV[IXB] = jnp.fmax(accV[IXB],
                                          jnp.fmax(t_ge, wj + sg) - cj)
+                    return c0
+
+                jax.lax.fori_loop(0, nlen2max, x_body, 0)
+            else:
+                for j in reversed(range(op)):
+                    @when_slot(j < nlen2max)
+                    def _(j=j):
+                        o2j = O2v[:, j:j + 1]
+                        cj = C2w_ref[j]
+                        kj = jax.lax.rem(d - o2j + R, R)
+                        vj = d - o2j >= 0
+                        xj = ring_read(ringX, kj, vj)
+                        wj = ring_read(ringW, kj, vj)
+                        t_ge = xj + ge
+                        acc_cand(IX, CX, t_ge - cj, (j << 1) | 0)
+                        acc_cand(IX, CX, (wj + gi) - cj, (j << 1) | 1)
+                        accV[IXB] = jnp.fmax(accV[IXB],
+                                             jnp.fmax(t_ge, wj + sg) - cj)
 
             interior = (ys >= 1) & (ys <= n1 - 2) & (xs >= 1) & (xs <= n2 - 2)
             b_x0 = (xs == 0) & (ys >= 1) & (ys <= n1 - 2)
@@ -435,8 +519,9 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
             # W-state resolution order M, Y, X (backtrack.py:130-137)
             wst = jnp.where(Wrow == Mrow, ST_M,
                             jnp.where(Wrow == Yrow, ST_Y, ST_X)).astype(i32)
-            code = (accC[CM] | (accC[CY] << 8) | (accC[CX] << 13)
-                    | (wst << 18))
+            code = (accC[CM] | (accC[CY] << (2 * SHB))
+                    | (accC[CX] << (3 * SHB + 1))
+                    | (wst << (4 * SHB + 2)))
 
             trow = jax.lax.rem(d, 8)
             codes_st[pl.ds(trow, 1)] = code[None]
@@ -474,8 +559,7 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
         tailY_st[0:1] = neg8[None]
         stripeY_ref[0] = neg8
         stripeX_ref[0] = jnp.full((8, n2p), NEG)
-        for j in range(op):
-            C2w_ref[j] = jnp.full((8, n1p), COST_INF)
+        C2w_ref[:] = jnp.full((op, 8, n1p), COST_INF)
 
         def fill_loop(Swin, C2win, sem1, sem2):
             def flush(base8):
@@ -522,7 +606,8 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
         pl.run_scoped(
             fill_loop,
             Swin=pltpu.VMEM((8, 8, n1p), jnp.float32),
-            C2win=pltpu.VMEM((8, 8, 128), jnp.float32),
+            C2win=pltpu.VMEM((8, op, 128) if single else (8, 8, 128),
+                             jnp.float32),
             sem1=pltpu.SemaphoreType.DMA(()),
             sem2=pltpu.SemaphoreType.DMA(()),
         )
@@ -582,6 +667,9 @@ def _make_kernel(G: int, n1p: int, n2p: int, DBv: int, op: int, R: int,
     )
 
     def wrapped(scal, O1, O2, IV, PAR, C1T, Sdiag, C2c):
+        if single:
+            # single-pair tiers ship C2c as [G, DBv, op, 128] directly
+            return call(scal, O1, O2, IV, PAR, C1T, Sdiag, C2c)
         # the C2 cost array travels compact [G, DBv, 8, op] and is padded
         # to the 128-lane tile on device (DMA slices must be lane-aligned)
         C2p = jnp.pad(C2c, ((0, 0), (0, 0), (0, 0), (0, 128 - op)),
@@ -794,6 +882,8 @@ def _make_chase():
         n2p = stripeX.shape[2]           # boundary-X stripe is n2cap wide
         TCAP = tailM.shape[1]
         B, op = O1b.shape
+        SHB = _shb(op)                   # code field widths follow op
+        SMSK = (1 << SHB) - 1
         npad1 = C1f.shape[1]
         npad2 = C2f.shape[1]
         Lm = DBv + 8
@@ -886,9 +976,27 @@ def _make_chase():
         # skip candidate wins -> origin (st unused)
         y0 = jnp.where(t0 == 3, 0, y0)
         x0 = jnp.where(t0 == 3, 0, x0)
-        rep0 = (take(R1ff, (bidx * npad1 + (n1b - 1)) * op + i0)
-                | take(R2ff, (bidx * npad2 + (n2b - 1)) * op + j0))
-        fail0 = rep0 > 0
+        rep0y = take(R1ff, (bidx * npad1 + (n1b - 1)) * op + i0) > 0
+        rep0x = take(R2ff, (bidx * npad2 + (n2b - 1)) * op + j0) > 0
+
+        # ---- repeat-event buffers (markAlternativePath replays on host)
+        eidx = jnp.arange(EV_CAP)
+
+        def add_event(evs, evn, fail, side, nxt, cur, pos, cond):
+            ov = cond & (evn >= EV_CAP)
+            cond = cond & ~ov
+            side_a, next_a, cur_a, pos_a = evs
+            sel = cond[:, None] & (eidx[None, :] == evn[:, None])
+            side_a = jnp.where(sel, side, side_a)
+            next_a = jnp.where(sel, nxt[:, None], next_a)
+            cur_a = jnp.where(sel, cur[:, None], cur_a)
+            pos_a = jnp.where(sel, pos[:, None], pos_a)
+            return ((side_a, next_a, cur_a, pos_a),
+                    jnp.where(cond, evn + 1, evn), fail | ov)
+
+        evs = tuple(jnp.zeros((B, EV_CAP), i32) for _ in range(4))
+        evn = jnp.zeros(B, i32)
+        fail0 = jnp.zeros(B, bool)
 
         lmax_ii = jnp.arange(Lm)
         map1 = jnp.full((B, Lm), -2, i32)
@@ -908,25 +1016,32 @@ def _make_chase():
 
         maps, pos0 = push((map1, map2), jnp.zeros(B, i32),
                           n1b - 1, n2b - 1, jnp.ones(B, bool))
+        # end-transition repeat events: host marks the y-side path first,
+        # then the x-side, both BEFORE pushing (y0, x0) — record both at
+        # pos0 (the cumulative-shift splice reproduces the order)
+        evs, evn, fail0 = add_event(evs, evn, fail0, 1, y0, n1b - 1,
+                                    pos0, rep0y)
+        evs, evn, fail0 = add_event(evs, evn, fail0, 2, x0, n2b - 1,
+                                    pos0, rep0x)
         live0 = (x0 != 0) | (y0 != 0)
         maps, pos1 = push_state(maps, pos0, y0, x0, st0, live0 & ~fail0)
         code0 = code_at(y0, x0)
 
         def bt_cond(s):
-            y, x, st, code, pos, fail, it, maps_ = s
+            y, x, st, code, pos, fail, it, maps_, evs_, evn_ = s
             return jnp.any(((y != 0) | (x != 0)) & (~fail)) & (it < Lm)
 
         def bt_body(s):
-            y, x, st, code, pos, fail, it, maps_ = s
+            y, x, st, code, pos, fail, it, maps_, evs_, evn_ = s
             act = ((y != 0) | (x != 0)) & (~fail)
 
             # interior decode straight from the fill's code word
-            iM = (code >> 4) & 15
-            jM = code & 15
-            rwY = (code >> 8) & 1
-            iY = (code >> 9) & 15
-            rwX = (code >> 13) & 1
-            jX = (code >> 14) & 15
+            iM = (code >> SHB) & SMSK
+            jM = code & SMSK
+            rwY = (code >> (2 * SHB)) & 1
+            iY = (code >> (2 * SHB + 1)) & SMSK
+            rwX = (code >> (3 * SHB + 1)) & 1
+            jX = (code >> (3 * SHB + 2)) & SMSK
 
             # boundary-Y replay (x == 0; backtrack.py:140-155): stored used
             # start_gap but candidates use gap_init -> explicit argmin
@@ -981,10 +1096,15 @@ def _make_chase():
                              take(R2ff, (bidx * npad2
                                          + jnp.clip(x, 0, npad2 - 1)) * op
                                   + j_sel))
-            n_fail = fail | (act & ((rep1 | rep2) > 0))
+            # record repeat events (host order: y-side mark, x-side mark,
+            # then the push of (ny, nx)) at the pre-push position
+            evs_, evn_, n_fail = add_event(evs_, evn_, fail, 1, ny, y,
+                                           pos, act & (rep1 > 0))
+            evs_, evn_, n_fail = add_event(evs_, evn_, n_fail, 2, nx, x,
+                                           pos, act & (rep2 > 0))
 
             code2 = code_at(ny, nx)
-            wst2 = (code2 >> 18) & 3
+            wst2 = (code2 >> (4 * SHB + 2)) & 3
             n_st = jnp.where(rw == 1, wst2,
                              jnp.where(isY, ST_Y, ST_X)).astype(i32)
 
@@ -995,12 +1115,13 @@ def _make_chase():
             x = jnp.where(act, nx, x)
             st = jnp.where(act, n_st, st)
             code = jnp.where(act, code2, code)
-            return (y, x, st, code, pos, n_fail, it + 1, maps_)
+            return (y, x, st, code, pos, n_fail, it + 1, maps_, evs_,
+                    evn_)
 
-        y_f, x_f, st_f, code_f, pos_f, fail_f, it_f, maps = \
-            jax.lax.while_loop(bt_cond, bt_body,
-                               (y0, x0, st0, code0, pos1, fail0, i32(0),
-                                maps))
+        (y_f, x_f, st_f, code_f, pos_f, fail_f, it_f, maps, evs,
+         evn) = jax.lax.while_loop(bt_cond, bt_body,
+                                   (y0, x0, st0, code0, pos1, fail0,
+                                    i32(0), maps, evs, evn))
         # lanes still away from the origin at the iteration cap: chase
         # failure (should not happen; bails to host rather than looping)
         fail_f = fail_f | ((y_f != 0) | (x_f != 0))
@@ -1011,7 +1132,8 @@ def _make_chase():
         meta = meta.at[:, META_SCORE].set(Wend)
         meta = meta.at[:, META_LEN].set(posF.astype(jnp.float32))
         meta = meta.at[:, META_FAIL].set(fail_f.astype(jnp.float32))
-        return m1, m2, meta
+        ev = jnp.concatenate([evn[:, None]] + list(evs), axis=1)
+        return m1, m2, meta, ev
 
     return jax.jit(chase)
 
@@ -1023,9 +1145,9 @@ def _jit_pack():
     import jax
     import jax.numpy as jnp
 
-    def pack(m1, m2, meta):
+    def pack(m1, m2, meta, ev):
         mi = jax.lax.bitcast_convert_type(meta, jnp.int32)
-        return jnp.concatenate([m1, m2, mi], axis=1)
+        return jnp.concatenate([m1, m2, mi, ev], axis=1)
 
     return jax.jit(pack)
 
@@ -1063,33 +1185,38 @@ class _DummyInfo:
         self.model = m
 
 
-def _form_groups(infos):
+def _form_groups(infos, single=False):
     """Sort a tier's pairs by descending diagonal count and cut into groups
     of 8 whose diagonal spread fits the tail window; pad partial groups by
     repeating their smallest member (free: extra sublanes of work already
     paid) and the group count to a power of two with dummy zero-diagonal
-    groups."""
+    groups.  ``single``: one pair per group, replicated across all 8
+    sublanes (the big repeat tiers)."""
     infos = sorted(infos, key=lambda p: -p.dfull)
-    groups = []
-    cur = []
-    spread_cap = GROUP_SPREAD
-    for info in infos:
-        if cur and (len(cur) == 8 or cur[0].dfull - info.dfull > spread_cap):
+    if single:
+        groups = [[info] * 8 for info in infos]
+    else:
+        groups = []
+        cur = []
+        spread_cap = GROUP_SPREAD
+        for info in infos:
+            if cur and (len(cur) == 8
+                        or cur[0].dfull - info.dfull > spread_cap):
+                groups.append(cur)
+                cur = []
+            cur.append(info)
+        if cur:
             groups.append(cur)
-            cur = []
-        cur.append(info)
-    if cur:
-        groups.append(cur)
-    for grp in groups:
-        while len(grp) < 8:
-            grp.append(grp[-1])
+        for grp in groups:
+            while len(grp) < 8:
+                grp.append(grp[-1])
     dummy = _DummyInfo(groups[-1][-1])
     # pad the group count to a power of two (dummy groups run zero
     # diagonal blocks); for short-sequence classes also floor at 16 so the
     # kernel shape (and its one-time Mosaic compile) is reused across tree
-    # levels — long-sequence classes skip the floor (their S prologue and
-    # plane memory scale with the padded batch)
-    big = max(i.n1 for grp in groups for i in grp) > 512
+    # levels — long-sequence and single-pair classes skip the floor (their
+    # S prologue and plane memory scale with the padded batch)
+    big = single or max(i.n1 for grp in groups for i in grp) > 512
     gcap = _pow2(len(groups)) if big else max(16, _pow2(len(groups)))
     while len(groups) < gcap:
         groups.append([dummy] * 8)
@@ -1108,7 +1235,8 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
     import jax.numpy as jnp
 
     op, R = TIERS[tier]
-    groups = _form_groups(infos)
+    single = op >= SINGLE_OP
+    groups = _form_groups(infos, single=single)
     ndev = mesh.size if mesh is not None else 1
     dummy = _DummyInfo(groups[-1][-1]) if len(groups) % ndev else None
     while len(groups) % ndev:
@@ -1130,7 +1258,8 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
     IVa = np.zeros((B, 128), np.int32)
     PARa = np.zeros((B, 128), np.float32)
     C1T = np.full((G, op, 8, n1p), COST_INF, np.float32)
-    C2c = np.full((G, DBv, 8, op), COST_INF, np.float32)
+    C2c = np.full((G, DBv, op, 128) if single else (G, DBv, 8, op),
+                  COST_INF, np.float32)
     C1f = np.full((B, n1p, op), COST_INF, np.float32)
     C2f = np.full((B, n2cap, op), COST_INF, np.float32)
     R1f = np.zeros((B, n1p, op), np.int32)
@@ -1163,7 +1292,11 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
                            sc.start_init, sc.end_match, sc.end_gap,
                            sc.end_skip)
             C1T[gi_, :m1_, s, :info.n1] = info.C1.T
-            C2c[gi_, :info.n2, s, :m2_] = info.C2
+            if single:
+                if s == 0:     # all sublanes carry the same pair
+                    C2c[gi_, :info.n2, :m2_, 0] = info.C2
+            else:
+                C2c[gi_, :info.n2, s, :m2_] = info.C2
             C1f[b, :info.n1, :m1_] = info.C1
             C2f[b, :info.n2, :m2_] = info.C2
             R1f[b, :info.n1, :m1_] = info.rep1
@@ -1221,11 +1354,11 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
         if timers is not None:
             outs[0].block_until_ready()
             timers("fill")
-        m1, m2, meta = chase(*outs, *chase_args)
+        m1, m2, meta, ev = chase(*outs, *chase_args)
         if timers is not None:
             meta.block_until_ready()
             timers("chase")
-        packed = pack(m1, m2, meta)
+        packed = pack(m1, m2, meta, ev)
     else:
         from jax.sharding import PartitionSpec as PS
 
@@ -1233,8 +1366,8 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
 
         def run(kargs, cargs):
             outs = kern(*kargs)
-            m1, m2, meta = chase(*outs, *cargs)
-            return pack(m1, m2, meta)
+            m1, m2, meta, ev = chase(*outs, *cargs)
+            return pack(m1, m2, meta, ev)
 
         f = _shard_map(run, mesh,
                        (tuple(PS("pairs") for _ in kern_args),
@@ -1253,14 +1386,16 @@ def _hbm_budget_ok(infos, tier):
     Sdiag + C2c + prologue sites/transients), vs a 4 GB cap.  Counts the
     full group-padded batch (ADVICE r3: the round-3 budget undercounted)."""
     op, R = TIERS[tier]
-    G = _pow2((len(infos) + 7) // 8)
+    single = op >= SINGLE_OP
+    G = (_pow2(len(infos)) if single
+         else _pow2((len(infos) + 7) // 8))
     n1p = _lane_bucket(max(i.n1 for i in infos))
     n2cap = _lane_bucket(max(i.n2 for i in infos))
     DBv = _dbv_for(n1p, n2cap)
     per_group = (DBv * 8 * n1p * 4             # codes
                  + 3 * _tcap(R) * 8 * n1p * 4  # tails
                  + DBv * 8 * n1p * 4           # Sdiag
-                 + DBv * 8 * op * 4)           # C2c
+                 + DBv * (op * 128 if single else 8 * op) * 4)   # C2c
     dim = infos[0].g1.dim
     per_group += 8 * (n1p + n2cap) * dim * 4 * 2   # prologue sites
     # the exact-S replay holds ~2 chunk-sweeps of full-S temporaries at a
@@ -1342,9 +1477,13 @@ def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None,
         outs.append((flat, np.asarray(packed), Lm))   # fetch
     _mark("fetch")
 
+    from .backtrack import mark_alternative_path
+
     for flat, packed, Lm in outs:
         seen = set()
-        metah = packed[:, 2 * Lm:].view(np.float32)
+        meta_lo = 2 * Lm
+        ev_lo = meta_lo + 16
+        metah = packed[:, meta_lo:ev_lo].view(np.float32)
         for k, info in enumerate(flat):
             if info.idx < 0 or info.idx in seen:
                 continue
@@ -1353,9 +1492,41 @@ def align_pairs_device(items, interpret=None, s_mode="auto", mesh=None,
                 _fallback_stats["fb_rep"] += 1
                 continue
             ln = int(metah[k, META_LEN])
-            results[info.idx] = (packed[k, :Lm][:ln][::-1].tolist(),
-                                 packed[k, Lm:2 * Lm][:ln][::-1].tolist(),
-                                 np.float32(metah[k, META_SCORE]), 0)
+            ntr = int(packed[k, ev_lo])
+            if ntr == 0:
+                results[info.idx] = (
+                    packed[k, :Lm][:ln][::-1].tolist(),
+                    packed[k, Lm:2 * Lm][:ln][::-1].tolist(),
+                    np.float32(metah[k, META_SCORE]), 0)
+            else:
+                # splice the host markAlternativePath columns into the
+                # walk-order mapping at the recorded positions (the host
+                # appends them at exactly these points of its own walk)
+                walk1 = packed[k, :Lm][:ln].tolist()
+                walk2 = packed[k, Lm:2 * Lm][:ln].tolist()
+                evb = packed[k, ev_lo + 1:ev_lo + 1 + 4 * EV_CAP]
+                sides = evb[:EV_CAP]
+                nxts = evb[EV_CAP:2 * EV_CAP]
+                curs = evb[2 * EV_CAP:3 * EV_CAP]
+                poss = evb[3 * EV_CAP:4 * EV_CAP]
+                shift = 0
+                for t in range(ntr):
+                    tmp_m, tmp_o = [], []
+                    if sides[t] == 1:
+                        mark_alternative_path(int(nxts[t]), int(curs[t]),
+                                              info.g1, tmp_m, tmp_o)
+                        at = int(poss[t]) + shift
+                        walk1[at:at] = tmp_m
+                        walk2[at:at] = tmp_o
+                    else:
+                        mark_alternative_path(int(nxts[t]), int(curs[t]),
+                                              info.g2, tmp_m, tmp_o)
+                        at = int(poss[t]) + shift
+                        walk2[at:at] = tmp_m
+                        walk1[at:at] = tmp_o
+                    shift += len(tmp_m)
+                results[info.idx] = (walk1[::-1], walk2[::-1],
+                                     np.float32(metah[k, META_SCORE]), ntr)
             _fallback_stats["pairs_device"] += 1
     return results
 

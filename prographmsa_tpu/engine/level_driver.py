@@ -17,9 +17,12 @@ on the host engines, so output equals the sequential driver byte-for-byte
 — asserted by tests/test_level_driver.py.
 
 Not used when early refinement is enabled (its incremental re-alignment
-consumes nodes in recursion order) or when --repeats is active (the
-per-node TR stderr lines must appear in the reference's post-order;
-GraphAlign repeat backtracks mostly bail to host anyway).
+consumes nodes in recursion order).  Under --repeats (round 5) the driver
+IS used: the per-node TR stderr lines are buffered and re-emitted in the
+reference's post-order after the alignment pass (nodes are collected in
+post-order, so the emission loop just walks the node list), and repeat
+backtrack steps stay on the device via the chase's markAlternativePath
+event splice (align/graph_dp_pallas.py).
 """
 
 from __future__ import annotations
@@ -56,7 +59,7 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
     """Level-batched progressive_alignment (same result, device-batched
     alignment stage).  Falls back to the sequential driver when a feature
     requires recursion order."""
-    if options.earlyref_flag or options.repeats_flag:
+    if options.earlyref_flag:
         return progressive_alignment(spec, sequences, tree, repeats,
                                      csprofile, factory, options)
 
@@ -81,6 +84,7 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
                                            csprofile, factory, options)
 
     pending = [i for i, (t, c0, c1) in enumerate(nodes) if c0 is not None]
+    tr_counts = {}
     while pending:
         ready = [i for i in pending
                  if results[nodes[i][1]] is not None
@@ -151,11 +155,12 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
                     aln = align_graphs(cg1, cg2, items[k][2], options,
                                        scores=items[k][3])[0]
                 t, c0, c1 = nodes[i]
+                tr_counts[i] = aln.n_tr_indels
                 results[i] = align_progressive_results(
                     results[c0], results[c1], t[0].branch_length,
                     t[1].branch_length, t[0].branch_support,
                     t[1].branch_support, factory, options, spec,
-                    prealigned=preps[i], aln=aln)
+                    prealigned=preps[i], aln=aln, tr_print=False)
 
         if pool is not None and len(ready) > 1:
             # one coarse task per worker: task-dispatch overhead on a
@@ -170,4 +175,18 @@ def progressive_alignment_batched(spec, sequences, tree, repeats, csprofile,
 
     if pool is not None:
         pool.shutdown(wait=False)
+
+    if options.repeats_flag:
+        # re-emit the per-node TR lines in the reference's post-order
+        # (ProgressiveAlignment.h:470-473; ``nodes`` IS post-order, and
+        # align_progressive_results was called with tr_print=False)
+        import sys
+
+        from .progressive import create_ancestral_seq_name
+        for i, (t, c0, c1) in enumerate(nodes):
+            if c0 is None:
+                continue
+            print("TR indels at %s: %d"
+                  % (create_ancestral_seq_name(results[i].aligned_sequences),
+                     tr_counts[i]), file=sys.stderr)
     return results[-1]

@@ -205,9 +205,13 @@ def merge_node(r1, r2, aln, prealigned, support1, support2, options):
 
 def align_progressive_results(r1, r2, distance1, distance2, support1,
                               support2, factory, options, spec,
-                              prealigned=None, aln=None, anc=None):
+                              prealigned=None, aln=None, anc=None,
+                              tr_print=True):
     """ProgressiveAlignment.h:413-476.  ``prealigned``/``aln``/``anc`` let
-    the level-batched driver inject the already-computed stage results."""
+    the level-batched driver inject the already-computed stage results;
+    ``tr_print=False`` defers the per-node TR stderr line to the caller
+    (the level driver finishes nodes out of post-order and re-emits the
+    lines in the reference's order afterwards)."""
     result = ProgressiveAlignmentResult()
 
     if prealigned is None:
@@ -245,7 +249,7 @@ def align_progressive_results(r1, r2, distance1, distance2, support1,
 
     result.graph.add_repeats(result.tr_homologies)
 
-    if options.repeats_flag:
+    if options.repeats_flag and tr_print:
         # ProgressiveAlignment.h:470-473: per-node TR-indel count of THIS
         # alignment (not the accumulated subtree total) to stderr.
         import sys

@@ -115,11 +115,12 @@ def test_kernel_asymmetric_long_g2():
         _assert_same(g1, cg2, m)
 
 
-def test_kernel_repeat_edges_bail():
-    # graphs with repeat edges still fill correctly; a backtrack that takes
-    # a repeat edge returns None (host fallback handles it)
-    from prographmsa_tpu.graph.graph import Graph
-
+def test_kernel_repeat_edges_splice():
+    # graphs with repeat edges fill correctly; a backtrack that takes a
+    # repeat edge records the event and the harvest splices the host
+    # markAlternativePath columns in — same mappings AND same
+    # n_tr_indels as the host walk (round-5 replacement for the old
+    # whole-pair bail)
     m = FACT.get_model(0.3, OPTS)
     g1 = _chain("ACDEFACDEFACDEF")
     tr = np.full(g1.size, -1, dtype=np.int64)
@@ -132,11 +133,10 @@ def test_kernel_repeat_edges_bail():
     dp = fill_dp(g1, g2, S, sc)
     aln = backtrack(g1, g2, dp, sc)
     res = align_pair_device(g1, g2, m, sc, interpret=True)
-    if aln.n_tr_indels > 0:
-        assert res is None      # repeat path selected -> kernel bails
-    else:
-        assert res is not None
-        assert res[0] == aln.mapping1 and res[1] == aln.mapping2
+    assert res is not None
+    assert list(res[0]) == aln.mapping1 and list(res[1]) == aln.mapping2
+    assert res[3] == aln.n_tr_indels
+    assert aln.n_tr_indels > 0, "fixture must actually take a repeat edge"
 
 
 @pytest.mark.skipif(os.environ.get("PROGRAPHMSA_TEST_TPU") != "1",
