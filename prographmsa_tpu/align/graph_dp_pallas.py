@@ -188,7 +188,12 @@ def _offset_costs_rep(graph, scores, max_offsets: int):
 
 
 def _lane_bucket(n: int) -> int:
-    return max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    """Pad a node count to the lane-tile bucket.  PROGRAPHMSA_PALLAS_BUCKET
+    sets a FLOOR (e.g. 384): classes across tree levels then share one
+    kernel shape, cutting the number of distinct Mosaic compiles a cold
+    process pays (VERDICT r4 #7) at the cost of some padded lanes."""
+    floor = int(os.environ.get("PROGRAPHMSA_PALLAS_BUCKET", LANE))
+    return max(LANE, floor, ((n + LANE - 1) // LANE) * LANE)
 
 
 def _pow2(x: int) -> int:
@@ -226,8 +231,14 @@ def _prep_pair(idx, g1, g2, model, scores):
                        COST_INF).astype(np.float32)
     reach = int(info.o1.max()) + int(info.o2.max())
     need_op = max(len(info.o1), len(info.o2))
+    # PROGRAPHMSA_PALLAS_TIER_FLOOR collapses small tiers into one shared
+    # kernel (fewer Mosaic compiles for a cold process; VERDICT r4 #7) at
+    # the cost of padded-slot region overhead at runtime
+    floor = int(os.environ.get("PROGRAPHMSA_PALLAS_TIER_FLOOR", 0))
     tier = None
     for t, (op, R) in enumerate(TIERS):
+        if t < floor and op < SINGLE_OP:
+            continue
         if need_op <= op and reach <= R - 2:
             tier = t
             break
@@ -1360,19 +1371,40 @@ def _launch_class(infos, tier, interpret, use_device_s, timers=None,
             timers("chase")
         packed = pack(m1, m2, meta, ev)
     else:
-        from jax.sharding import PartitionSpec as PS
+        from jax.sharding import NamedSharding, PartitionSpec as PS
 
         from ..parallel.sharded import _shard_map
+
+        multiproc = len({d.process_index
+                         for d in mesh.devices.flat}) > 1
 
         def run(kargs, cargs):
             outs = kern(*kargs)
             m1, m2, meta, ev = chase(*outs, *cargs)
-            return pack(m1, m2, meta, ev)
+            p = pack(m1, m2, meta, ev)
+            if multiproc:
+                # every process needs the whole result (the harvest runs
+                # host-side in each controller): one tiled all_gather
+                p = jax.lax.all_gather(p, "pairs", axis=0, tiled=True)
+            return p
+
+        if multiproc:
+            # multi-controller: inputs must be global arrays; the host
+            # data is identical in every process, so replicate it
+            repl = NamedSharding(mesh, PS())
+
+            def g(a):
+                a = np.asarray(a)
+                return jax.make_array_from_callback(
+                    a.shape, repl, lambda idx: a[idx])
+
+            kern_args = tuple(g(a) for a in kern_args)
+            chase_args = tuple(g(a) for a in chase_args)
 
         f = _shard_map(run, mesh,
                        (tuple(PS("pairs") for _ in kern_args),
                         tuple(PS("pairs") for _ in chase_args)),
-                       PS("pairs"))
+                       PS() if multiproc else PS("pairs"))
         packed = f(kern_args, chase_args)
         if timers is not None:
             packed.block_until_ready()

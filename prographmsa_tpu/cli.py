@@ -224,7 +224,7 @@ def do_align(seqs: Dict[str, str], options: Options):
                         _walk(node[ci])
 
                 _walk(tr)
-                csprofile.prime_profiles(leaves)
+                csprofile.prime_profiles(leaves, engine=options.engine)
         # level-synchronous driver for the production engines: batches a
         # level into one device launch (pallas tier) or threads the native
         # host kernels across the level's independent pairs.  device/numpy

@@ -146,14 +146,19 @@ class CSProfileLibrary:
                 break
 
     # ------------------------------------------------------------------
-    def prime_profiles(self, items) -> None:
+    def prime_profiles(self, items, engine: str = "auto") -> None:
         """Batch-compute the profiles of many (seq, model) leaves in ONE
         pass — one windowed-gather sweep and one [ΣL, K] @ [K, 20] mixing
         GEMM instead of per-leaf passes (the reference recomputes each leaf
         separately, CSProfile.cpp:175) — and cache them for create_profile.
-        float64 throughout: CS profiles feed the S matrices whose rounding
-        decides alignment paths, so this stage stays on the host f64 tier
-        (engine_policy module docstring).
+
+        Default tier is host float64: CS profiles feed the S matrices
+        whose rounding decides alignment paths (engine_policy module
+        docstring).  Under the explicit device engines the window scoring
+        and mixing run on the MXU in f32 (one one-hot context GEMM + one
+        mixing GEMM — the shape named by VERDICT r4 #5), f64-host-verified
+        on the golden corpus; measured divergence is documented in
+        BASELINE.md.
 
         Leaf windows never cross leaves: each sequence is padded with
         ``center`` sentinel residues on both sides, so position windows of
@@ -185,18 +190,48 @@ class CSProfileLibrary:
         tseq_all = big[idx]
 
         win = big[idx[:, None] + np.arange(-center, center + 1)[None, :]]
-        lp = self.lprofiles.transpose(1, 2, 0)          # [ncols, 21, K]
-        pk = np.zeros((len(idx), self.nprof))
-        for j in range(self.ncols):
-            pk += lp[j][win[:, j]]
-        pk += self.priors[None, :]
-        mix = np.exp(pk) @ self.profiles[:, center, :]  # [ΣL, 20]
+        mix = None
+        if engine in ("device", "pallas"):
+            try:
+                mix = self._pk_mix_device(win, center)
+            except Exception as e:  # noqa: BLE001 — deterministic retry
+                import sys
+                print("warning: device CS profiles failed (%r); "
+                      "recomputing on host" % (e,), file=sys.stderr)
+        if mix is None:
+            lp = self.lprofiles.transpose(1, 2, 0)      # [ncols, 21, K]
+            pk = np.zeros((len(idx), self.nprof))
+            for j in range(self.ncols):
+                pk += lp[j][win[:, j]]
+            pk += self.priors[None, :]
+            mix = np.exp(pk) @ self.profiles[:, center, :]  # [ΣL, 20]
 
         pos = 0
         for (seq, model), n in zip(todo, lens):
             self._cache[self._key(seq, model)] = self._finalize(
                 mix[pos:pos + n], tseq_all[pos:pos + n], model)
             pos += n
+
+    def _pk_mix_device(self, win, center):
+        """Window scoring + profile mixing on the MXU (CSProfile.cpp:190-203
+        as two GEMMs): pk = onehot(win) . w-weighted log-lib contracted
+        over (column, residue), mix = exp(pk) @ center-profiles.  f32 with
+        'highest' MXU precision; the f64 admixture stays on host."""
+        import jax
+        import jax.numpy as jnp
+
+        lp32 = jnp.asarray(self.lprofiles, jnp.float32)   # [K, ncols, 21]
+        oh = jax.nn.one_hot(jnp.asarray(win), DIM + 1, dtype=jnp.float32)
+        pk = jnp.einsum("nca,kca->nk", oh, lp32,
+                        precision="highest",
+                        preferred_element_type=jnp.float32)
+        pk = pk + jnp.asarray(self.priors, jnp.float32)[None, :]
+        mix = jnp.matmul(jnp.exp(pk),
+                         jnp.asarray(self.profiles[:, center, :],
+                                     jnp.float32),
+                         precision="highest",
+                         preferred_element_type=jnp.float32)
+        return np.asarray(mix).astype(np.float64)
 
     def _key(self, seq, model):
         return (seq.tobytes(), float(model.distance),

@@ -79,6 +79,38 @@ for v in values.reshape(-1):
         expect[v] += 1
 assert np.array_equal(histl.reshape(-1), expect), (histl, expect)
 
+# --- the PRODUCTION graph-DP level batch across BOTH processes
+# (VERDICT r4 #6): align_pairs_device under the 8-device global mesh,
+# interpret-mode kernel, mappings byte-compared against the host engine
+# in every process
+from prographmsa_tpu.config import Options
+from prographmsa_tpu.alphabet import AA_SPEC
+from prographmsa_tpu.graph.graph import sequence_graph
+from prographmsa_tpu.models.factory import WagModelFactory
+from prographmsa_tpu.align.scores import DynProgScores
+from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+from prographmsa_tpu.engine.progressive import align_graphs
+
+opts = Options()
+fact = WagModelFactory()
+model = fact.get_model(0.4, opts)
+aas = "ACDEFGHIKLMNPQRSTVWY"
+grng = np.random.default_rng(21)
+items = []
+for _ in range(16):
+    a1 = "".join(grng.choice(list(aas)) for _ in range(18))
+    a2 = "".join(grng.choice(list(aas)) for _ in range(16))
+    g1 = sequence_graph(AA_SPEC, AA_SPEC.encode(a1))
+    g2 = sequence_graph(AA_SPEC, AA_SPEC.encode(a2))
+    items.append((g1, g2, model, DynProgScores(g1, g2, model, opts)))
+res = align_pairs_device(items, interpret=True, mesh=mesh)
+assert all(r is not None for r in res), "level batch left the mesh path"
+for r, (g1, g2, m, sc) in zip(res, items):
+    aln, _ = align_graphs(g1, g2, m, opts.replace(engine="numpy"),
+                          scores=sc)
+    assert list(r[0]) == list(aln.mapping1)
+    assert list(r[1]) == list(aln.mapping2)
+
 print("DIST2-OK", jax.process_index())
 """
 

@@ -28,22 +28,31 @@ PAIRS_PER_DEV = 96
 L = 128
 
 
+def _force_cpu_devices(n: int):
+    """Pin the CPU backend BEFORE any devices() call (the axon
+    sitecustomize otherwise routes even n=1 onto the tunneled TPU — the
+    round-3/4 tables' n=1 anomaly was exactly that: the n=1 row
+    benchmarked a different backend; VERDICT r4 #8), then rebuild the
+    client if the virtual device count is still short."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < n:
+        from jax._src import xla_bridge
+        xla_bridge._clear_backends()
+        jax.clear_caches()
+        jax.config.update("jax_num_cpu_devices", n)
+    assert len(jax.devices()) >= n
+    assert jax.devices()[0].platform == "cpu"
+
+
 def run_one(n: int) -> float:
     """Executed in a child process (device count is fixed at backend init)."""
     sys.path.insert(0, REPO)
     import numpy as np
-    import jax
 
-    if len(jax.devices()) < n:
-        # the axon sitecustomize pins the platform before XLA_FLAGS is
-        # honored; rebuild the CPU client with a virtual device count
-        # (same workaround as __graft_entry__.dryrun_multichip)
-        jax.config.update("jax_platforms", "cpu")
-        if len(jax.devices()) < n:
-            from jax._src import xla_bridge
-            xla_bridge._clear_backends()
-            jax.clear_caches()
-            jax.config.update("jax_num_cpu_devices", n)
+    _force_cpu_devices(n)
+    import jax
 
     from prographmsa_tpu.parallel.mesh import make_mesh
     from prographmsa_tpu.parallel.sharded import sharded_nw_counts
@@ -78,15 +87,9 @@ def run_graphdp(n: int) -> float:
     graph-DP path of engine/level_driver.py)."""
     sys.path.insert(0, REPO)
     import numpy as np
-    import jax
 
-    if len(jax.devices()) < n:
-        jax.config.update("jax_platforms", "cpu")
-        if len(jax.devices()) < n:
-            from jax._src import xla_bridge
-            xla_bridge._clear_backends()
-            jax.clear_caches()
-            jax.config.update("jax_num_cpu_devices", n)
+    _force_cpu_devices(n)
+    import jax
 
     from prographmsa_tpu.parallel.mesh import make_mesh
     from prographmsa_tpu.config import Options
