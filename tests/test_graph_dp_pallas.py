@@ -139,6 +139,46 @@ def test_kernel_repeat_edges_splice():
     assert aln.n_tr_indels > 0, "fixture must actually take a repeat edge"
 
 
+def test_kernel_repeat_fuzz():
+    """Random repeat-annotated pairs through the batch path: mappings,
+    scores AND n_tr_indels must equal the host walk (exercises the
+    kind-split slot order, the event splice, and the single-pair tiers)."""
+    from prographmsa_tpu.align.graph_dp_pallas import align_pairs_device
+
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    items, expected = [], []
+    for seed in range(4):
+        rng = np.random.RandomState(100 + seed)
+        unit = "".join(rng.choice(list(aas), rng.randint(3, 6)))
+        reps = rng.randint(2, 5)
+        pre = "".join(rng.choice(list(aas), rng.randint(0, 8)))
+        post = "".join(rng.choice(list(aas), rng.randint(0, 8)))
+        s1 = pre + unit * reps + post
+        g1 = _chain(s1)
+        tr = np.full(g1.size, -1, dtype=np.int64)
+        lo = len(pre) + 1
+        tr[lo:lo + len(unit) * reps] = np.tile(np.arange(len(unit)), reps)
+        g1.add_repeats([tr])
+        s2 = pre + unit * max(1, reps - rng.randint(1, reps)) + post
+        g2 = _chain(s2)
+        opts = Options(repeat_rate=0.5, repeatext_prob=0.3)
+        m = FACT.get_model(0.3 + 0.1 * seed, opts)
+        sc = DynProgScores(g1, g2, m, opts)
+        S = precompute_scores(g1, g2, m, sc, engine="numpy")
+        aln = backtrack(g1, g2, fill_dp(g1, g2, S, sc), sc)
+        items.append((g1, g2, m, sc))
+        expected.append(aln)
+    res = align_pairs_device(items, interpret=True)
+    n_ok = 0
+    for r, aln in zip(res, expected):
+        assert r is not None
+        assert list(r[0]) == aln.mapping1
+        assert list(r[1]) == aln.mapping2
+        assert r[3] == aln.n_tr_indels
+        n_ok += aln.n_tr_indels
+    assert n_ok > 0, "fuzz never exercised a repeat step"
+
+
 @pytest.mark.skipif(os.environ.get("PROGRAPHMSA_TEST_TPU") != "1",
                     reason="set PROGRAPHMSA_TEST_TPU=1 to compile on TPU")
 def test_kernel_on_real_tpu():
