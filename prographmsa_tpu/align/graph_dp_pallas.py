@@ -1054,43 +1054,59 @@ def _make_chase():
             rwX = (code >> (3 * SHB + 1)) & 1
             jX = (code >> (3 * SHB + 2)) & SMSK
 
-            # boundary-Y replay (x == 0; backtrack.py:140-155): stored used
-            # start_gap but candidates use gap_init -> explicit argmin
-            ypb = y[:, None] - O1b[:, ::-1]                  # desc order
-            okb = ypb >= 0
-            sy = stripe_at(strYf, jnp.maximum(ypb, 0), n1p)
-            yv = jnp.where(ypb == 0, NEGc, sy)
-            wv = jnp.where(ypb == 0, si[:, None], sy)
-            cyb = C1f[bidx, jnp.clip(y, 0, npad1 - 1)][:, ::-1]
-            csY = stripe_at(strYf, y[:, None], n1p)[:, 0]
-            d1 = jnp.abs(csY[:, None] - ((yv + ge[:, None]) - cyb))
-            d2 = jnp.abs(csY[:, None] - ((wv + gi[:, None]) - cyb))
-            candB = jnp.where(okb[:, :, None] & (cyb < COST_INF)[:, :, None],
-                              jnp.stack([d1, d2], 2), BIGc).reshape(B, -1)
-            kB = jnp.argmin(candB, axis=1).astype(i32)
-            iB = (op - 1) - (kB // 2)
-            rwB = kB % 2
-
-            # boundary-X replay (y == 0; backtrack.py:157-172)
-            xpb = x[:, None] - O2b[:, ::-1]
-            okb2 = xpb >= 0
-            sx = stripe_at(strXf, jnp.maximum(xpb, 0), n2p)
-            xv = jnp.where(xpb == 0, NEGc, sx)
-            wv2 = jnp.where(xpb == 0, si[:, None], sx)
-            cxb = C2f[bidx, jnp.clip(x, 0, npad2 - 1)][:, ::-1]
-            csX = stripe_at(strXf, x[:, None], n2p)[:, 0]
-            e1 = jnp.abs(csX[:, None] - ((xv + ge[:, None]) - cxb))
-            e2 = jnp.abs(csX[:, None] - ((wv2 + gi[:, None]) - cxb))
-            candB2 = jnp.where(okb2[:, :, None] & (cxb < COST_INF)[:, :, None],
-                               jnp.stack([e1, e2], 2), BIGc).reshape(B, -1)
-            kB2 = jnp.argmin(candB2, axis=1).astype(i32)
-            jB = (op - 1) - (kB2 // 2)
-            rwB2 = kB2 % 2
-
             isY = st == ST_Y
             isX = st == ST_X
             on_bx = x == 0
             on_by = y == 0
+
+            # Boundary replays (backtrack.py:140-172): the stored boundary
+            # cells used start_gap but candidates use gap_init, so the
+            # argmin is replayed explicitly from the exported stripes.
+            # The replay is ~60% of the per-step instruction count yet a
+            # walk only touches the boundaries near its tail, so both
+            # blocks run under lax.cond gated on "any lane on a boundary
+            # this step" — the hot interior iterations skip them entirely
+            # (the untaken branch returns dummies that the interior
+            # selects never read).
+            need_b = jnp.any((act & isY & on_bx) | (act & isX & on_by))
+
+            def boundary_replay(_):
+                ypb = y[:, None] - O1b[:, ::-1]              # desc order
+                okb = ypb >= 0
+                sy = stripe_at(strYf, jnp.maximum(ypb, 0), n1p)
+                yv = jnp.where(ypb == 0, NEGc, sy)
+                wv = jnp.where(ypb == 0, si[:, None], sy)
+                cyb = C1f[bidx, jnp.clip(y, 0, npad1 - 1)][:, ::-1]
+                csY = stripe_at(strYf, y[:, None], n1p)[:, 0]
+                d1 = jnp.abs(csY[:, None] - ((yv + ge[:, None]) - cyb))
+                d2 = jnp.abs(csY[:, None] - ((wv + gi[:, None]) - cyb))
+                candB = jnp.where(
+                    okb[:, :, None] & (cyb < COST_INF)[:, :, None],
+                    jnp.stack([d1, d2], 2), BIGc).reshape(B, -1)
+                kB = jnp.argmin(candB, axis=1).astype(i32)
+
+                xpb = x[:, None] - O2b[:, ::-1]
+                okb2 = xpb >= 0
+                sx = stripe_at(strXf, jnp.maximum(xpb, 0), n2p)
+                xv = jnp.where(xpb == 0, NEGc, sx)
+                wv2 = jnp.where(xpb == 0, si[:, None], sx)
+                cxb = C2f[bidx, jnp.clip(x, 0, npad2 - 1)][:, ::-1]
+                csX = stripe_at(strXf, x[:, None], n2p)[:, 0]
+                e1 = jnp.abs(csX[:, None] - ((xv + ge[:, None]) - cxb))
+                e2 = jnp.abs(csX[:, None] - ((wv2 + gi[:, None]) - cxb))
+                candB2 = jnp.where(
+                    okb2[:, :, None] & (cxb < COST_INF)[:, :, None],
+                    jnp.stack([e1, e2], 2), BIGc).reshape(B, -1)
+                kB2 = jnp.argmin(candB2, axis=1).astype(i32)
+                return kB, kB2
+
+            kB, kB2 = jax.lax.cond(
+                need_b, boundary_replay,
+                lambda _: (jnp.zeros(B, i32), jnp.zeros(B, i32)), 0)
+            iB = (op - 1) - (kB // 2)
+            rwB = kB % 2
+            jB = (op - 1) - (kB2 // 2)
+            rwB2 = kB2 % 2
             i_sel = jnp.where(isY, jnp.where(on_bx, iB, iY), iM)
             j_sel = jnp.where(isX, jnp.where(on_by, jB, jX), jM)
             rw = jnp.where(isY, jnp.where(on_bx, rwB, rwY),
