@@ -109,7 +109,9 @@ EV_CAP = 8                       # repeat events per pair before host bail
 
 # ---------------------------------------------------------------------------
 # fallback observability (VERDICT r3 #6): every pair that leaves the device
-# path is counted by reason; the level driver surfaces these in --timings
+# path is counted by reason; the level driver surfaces these in --timings.
+# fb_rep since round 5 means "more than EV_CAP repeat events or a chase
+# failure" — plain repeat steps stay on device via the event splice.
 FALLBACK_KEYS = ("pairs_total", "pairs_device", "fb_offsets", "fb_size",
                  "fb_reach", "fb_spread", "fb_rep", "fb_chase")
 _fallback_stats = {k: 0 for k in FALLBACK_KEYS}

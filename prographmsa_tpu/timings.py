@@ -1,10 +1,11 @@
 """Per-phase wall-clock accounting (``--timings``).
 
 The reference has no profiling of any kind (SURVEY §5); this is the
-framework's observability layer: each pipeline phase (distances, NJ, WLS,
-score precompute, DP fill, backtrack, merge) accumulates wall time into a
-process-global table that the CLI dumps to stderr on request.  Zero overhead
-when disabled (the context manager short-circuits).
+framework's observability layer: each pipeline phase (distances, ML
+Newton, NJ, WLS, clean, the fused native node alignment, device DP,
+merge) accumulates wall time into a process-global table that the CLI
+dumps to stderr on request.  Zero overhead when disabled (the context
+manager short-circuits).
 """
 
 from __future__ import annotations
