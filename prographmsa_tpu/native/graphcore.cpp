@@ -185,26 +185,33 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
     }
   } else {
     // General multi-predecessor path, restructured from per-cell pred-pair
-    // loops into ROW-VECTORIZED slot passes: for each row y, every
-    // (y-pred i) contributes one branch-free sweep over x for the Y
-    // candidates and one sweep per x-slot j for the M candidates; the X/W
-    // chain stays a serial per-row pass (loop-carried through x).  Every
-    // candidate value is computed with the identical float op sequence as
-    // the per-cell loop — only the MAX ACCUMULATION ORDER differs, and
-    // float max is exact (order-insensitive), so results are bit-identical
-    // (asserted by tests/test_native.py).  Padded x-slots are sanitized
-    // once (idx -> 0, cost -> +inf): their candidates evaluate to -inf
-    // instead of branching, which lets the compiler vectorize the sweeps.
-    std::vector<int32_t> x_idx((size_t)n2 * e2, 0);
-    std::vector<float> x_cost((size_t)n2 * e2, INFINITY);
+    // loops into ROW-VECTORIZED passes: for each row y, every (y-pred i)
+    // contributes one branch-free sweep over x for the Y candidates and
+    // one dense sweep for the FIRST x-predecessor of each column, plus a
+    // SPARSE scalar pass over the columns that have extra predecessors
+    // (merge skip edges touch only ~10-20% of columns, so the old dense
+    // sweep per x-slot wasted e2-1 full passes); the X/W chain stays a
+    // serial per-row pass (loop-carried through x).  Every candidate
+    // value is computed with the identical float op sequence as the
+    // per-cell loop — only the MAX ACCUMULATION ORDER differs, and float
+    // max is exact (order-insensitive), so results are bit-identical
+    // (asserted by tests/test_native.py).
+    std::vector<int32_t> x0i((size_t)n2, 0);
+    std::vector<float> x0c((size_t)n2, INFINITY);
+    std::vector<int32_t> ex_x, ex_xp;
+    std::vector<float> ex_c;
     for (int32_t x = 1; x <= n2 - 2; ++x) {
-      for (int32_t j = 0; j < e2; ++j) {
-        size_t sidx = (size_t)x * e2 + j;
-        int32_t xp = idx2[sidx];
-        x_idx[sidx] = xp < 0 ? 0 : xp;
-        x_cost[sidx] = xp < 0 ? INFINITY : cost2[sidx];
+      if (s2[x + 1] > s2[x]) {
+        x0i[x] = p2[s2[x]];
+        x0c[x] = c2v[s2[x]];
+      }
+      for (int32_t j = s2[x] + 1; j < s2[x + 1]; ++j) {
+        ex_x.push_back(x);
+        ex_xp.push_back(p2[j]);
+        ex_c.push_back(c2v[j]);
       }
     }
+    const size_t nex = ex_x.size();
     for (int32_t y = 1; y <= n1 - 2; ++y) {
       float* __restrict My = M + (int64_t)y * n2;
       float* __restrict Xy = X + (int64_t)y * n2;
@@ -220,16 +227,15 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
         const float cy = c1v[i];
         const float* __restrict Wp = W + (int64_t)yp * n2;
         const float* __restrict Yp = Y + (int64_t)yp * n2;
-        for (int32_t x = 1; x <= n2 - 2; ++x)
+        const int32_t* __restrict xi = x0i.data();
+        const float* __restrict xc = x0c.data();
+        for (int32_t x = 1; x <= n2 - 2; ++x) {
           Yy[x] = maxc(Yy[x], maxc(Yp[x] + ge, Wp[x] + gi) - cy);
-        for (int32_t j = 0; j < e2; ++j) {
-          const int32_t* __restrict xi = x_idx.data() + j;
-          const float* __restrict xc = x_cost.data() + j;
-          for (int32_t x = 1; x <= n2 - 2; ++x) {
-            const float cand =
-                ((Wp[xi[(size_t)x * e2]] + Sy[x]) - cy) - xc[(size_t)x * e2];
-            My[x] = maxc(My[x], cand);
-          }
+          My[x] = maxc(My[x], ((Wp[xi[x]] + Sy[x]) - cy) - xc[x]);
+        }
+        for (size_t k = 0; k < nex; ++k) {
+          const int32_t x = ex_x[k];
+          My[x] = maxc(My[x], ((Wp[ex_xp[k]] + Sy[x]) - cy) - ex_c[k]);
         }
       }
       for (int32_t x = 1; x <= n2 - 2; ++x) {

@@ -186,7 +186,8 @@ def test_kernel_on_real_tpu():
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     code = (
-        "from tests.test_graph_dp_pallas import *;"
+        "from tests.test_graph_dp_pallas import (FACT, OPTS, _merged,"
+        " _chain, _host_align, align_pair_device);"
         "m = FACT.get_model(0.3, OPTS);"
         "cg = _merged('ACDEFGHIKLMNPQRSTVWY', 'ACDEFGIKMNPQRSTVWY', m);"
         "g3 = _chain('ACDEFGHIKLMNPQRSTVW');"
