@@ -238,15 +238,29 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
           My[x] = maxc(My[x], ((Wp[ex_xp[k]] + Sy[x]) - cy) - ex_c[k]);
         }
       }
-      for (int32_t x = 1; x <= n2 - 2; ++x) {
-        float sx = NEG_INF;
-        for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
-          int32_t xp = p2[j];
-          float cx = c2v[j];
-          sx = maxc(sx, maxc(Xy[xp] + ge, Wy[xp] + gi) - cx);
+      // X/W chain with the fast path's shortened dependency for chain
+      // columns (sole predecessor x-1): max(X+ge, W+gi) with
+      // W = max(B, X) equals max(X+gmax, B+gi) bit-exactly (see the
+      // single-pred path's proof); skip/multi-pred columns recompute the
+      // full CSR max off the stored rows.
+      {
+        const float gmax = maxc(ge, gi);
+        float a = maxc(Xy[0] + ge, Wy[0] + gi);
+        for (int32_t x = 1; x <= n2 - 2; ++x) {
+          const int32_t j0 = s2[x], j1 = s2[x + 1];
+          float sx;
+          if (j1 - j0 == 1 && p2[j0] == x - 1) {
+            sx = a - c2v[j0];
+          } else {
+            sx = NEG_INF;
+            for (int32_t j = j0; j < j1; ++j)
+              sx = maxc(sx, maxc(Xy[p2[j]] + ge, Wy[p2[j]] + gi) - c2v[j]);
+          }
+          const float b = maxc(My[x], Yy[x]);
+          Xy[x] = sx;
+          Wy[x] = maxc(b, sx);
+          a = maxc(sx + gmax, b + gi);
         }
-        Xy[x] = sx;
-        Wy[x] = maxc(My[x], maxc(sx, Yy[x]));
       }
     }
   }
