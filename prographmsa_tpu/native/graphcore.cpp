@@ -196,19 +196,24 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
     // per-cell loop — only the MAX ACCUMULATION ORDER differs, and float
     // max is exact (order-insensitive), so results are bit-identical
     // (asserted by tests/test_native.py).
-    std::vector<int32_t> x0i((size_t)n2, 0);
-    std::vector<float> x0c((size_t)n2, INFINITY);
+    // Dense lane = each column's x-1 ("chain") edge, when present: the M
+    // sweep then reads Wp[x-1] — a shifted CONTIGUOUS load instead of a
+    // gather, so it vectorizes.  Every other x-edge (skip edges, ~10-20%
+    // of columns after merges) goes to the sparse extras list.  Max is
+    // order-insensitive, so splitting the candidate set this way is
+    // bit-identical to any other accumulation order.
+    std::vector<float> x0c((size_t)n2, INFINITY);   // x-1 edge cost
     std::vector<int32_t> ex_x, ex_xp;
     std::vector<float> ex_c;
     for (int32_t x = 1; x <= n2 - 2; ++x) {
-      if (s2[x + 1] > s2[x]) {
-        x0i[x] = p2[s2[x]];
-        x0c[x] = c2v[s2[x]];
-      }
-      for (int32_t j = s2[x] + 1; j < s2[x + 1]; ++j) {
-        ex_x.push_back(x);
-        ex_xp.push_back(p2[j]);
-        ex_c.push_back(c2v[j]);
+      for (int32_t j = s2[x]; j < s2[x + 1]; ++j) {
+        if (p2[j] == x - 1) {
+          x0c[x] = c2v[j];
+        } else {
+          ex_x.push_back(x);
+          ex_xp.push_back(p2[j]);
+          ex_c.push_back(c2v[j]);
+        }
       }
     }
     const size_t nex = ex_x.size();
@@ -227,11 +232,10 @@ void gc_fill_dp(int32_t n1, int32_t n2, int32_t e1, int32_t e2,
         const float cy = c1v[i];
         const float* __restrict Wp = W + (int64_t)yp * n2;
         const float* __restrict Yp = Y + (int64_t)yp * n2;
-        const int32_t* __restrict xi = x0i.data();
         const float* __restrict xc = x0c.data();
         for (int32_t x = 1; x <= n2 - 2; ++x) {
           Yy[x] = maxc(Yy[x], maxc(Yp[x] + ge, Wp[x] + gi) - cy);
-          My[x] = maxc(My[x], ((Wp[xi[x]] + Sy[x]) - cy) - xc[x]);
+          My[x] = maxc(My[x], ((Wp[x - 1] + Sy[x]) - cy) - xc[x]);
         }
         for (size_t k = 0; k < nex; ++k) {
           const int32_t x = ex_x[k];
